@@ -1,0 +1,1 @@
+"""Operators: degrees/symmetrize, skew salting, dedup, similarity, multimodal."""

@@ -1,0 +1,110 @@
+"""Label propagation (north-rule N2) — synchronous, deterministic.
+
+Semantics (SURVEY §2.4): init ``label(v) = v``; each round every vertex
+takes the most frequent label among its (undirected) neighbors, breaking
+ties toward the SMALLEST label — fully deterministic, unlike classic
+async LPA. Runs a fixed round budget or stops early at fixpoint.
+
+Plan per round: join label vector into cached symmetrized edges →
+``groupBy(dst, label).count()`` (two-phase hash agg, map-side combine) →
+top-1 per dst via ``max_by`` on the (count, -label) ordering — expressed
+as ``max(struct(count, -label))`` so it stays a single aggregation
+(no window sort shuffle).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_pagerank_spark.operators.degrees import (
+    symmetrize,
+    vertices_from_edges,
+)
+from distributed_pagerank_spark.plans.loop import CheckpointManager
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 10,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 2,
+    resume: bool = True,
+    num_partitions: int | None = None,
+    metrics_out: list[dict[str, Any]] | None = None,
+) -> DataFrame:
+    """→ ``(id long, label long)`` after ``rounds`` synchronous rounds
+    (early-stops at fixpoint)."""
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ckpt = CheckpointManager(spark, checkpoint_dir)
+    sym = symmetrize(edges).repartition(num_partitions, "src").persist()
+    sym.count()
+
+    labels = None
+    start_round = 0
+    if resume and ckpt.enabled():
+        latest = ckpt.latest()
+        if latest is not None:
+            start_round, labels, manifest = latest
+            if manifest.get("converged") or start_round >= rounds:
+                sym.unpersist()
+                return labels.select("id", "label")
+    if labels is None:
+        labels = (
+            vertices_from_edges(edges)
+            .select("id", F.col("id").alias("label"))
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+
+    rnd = start_round
+    while rnd < rounds:
+        rnd += 1
+        t0 = time.monotonic()
+        freq = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # top-1 label per dst: max over (cnt, -label) orders by frequency
+        # then smallest label — one agg, no window sort.
+        top = freq.groupBy("dst").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+        ).select("dst", (-F.col("m.neg")).alias("new_label"))
+        obs = Observation(f"lpa_changed_{rnd}")
+        new_labels = (
+            labels.join(top, labels["id"] == top["dst"], "left")
+            .select(
+                "id",
+                F.col("label").alias("old"),
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = obs.get["changed"] or 0
+        labels = new_labels.select("id", "label")
+        converged = changed == 0
+        meta = {
+            "algo": "label_propagation",
+            "changed": changed,
+            "converged": converged,
+            "iter_s": round(time.monotonic() - t0, 4),
+        }
+        if metrics_out is not None:
+            metrics_out.append({"round": rnd, **meta})
+        if ckpt.enabled() and (rnd % checkpoint_interval == 0 or converged):
+            labels = ckpt.save(rnd, labels, meta)
+        if converged:
+            break
+    sym.unpersist()
+    return labels.select("id", "label")

@@ -1,0 +1,150 @@
+"""Checkpointed iteration harness shared by all fixpoint algorithms.
+
+Replaces the reference's crash-recovery protocol — full ``State``
+replication master→workers once per iteration
+(``pkg/node/master.go:225-241``, report §III.C: queues drain at iteration
+boundaries, a consistent cut) — with a per-iteration snapshot to
+Parquet + a JSON manifest. The manifest is written LAST and acts as the
+commit marker, so a killed job resumes from the newest *complete*
+iteration (north_rule N4: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Each manifest records:
+- iteration number, the loop's convergence statistic (delta / changed),
+- wall-clock per phase (supplied by the algorithm),
+- per-partition lineage: rows per physical partition of the snapshot
+  (``spark_partition_id`` histogram) — the evidence trail for skew.
+
+Two truncation modes:
+- ``dir=None`` → ``localCheckpoint(eager=True)``: cuts lineage in memory,
+  cheapest, no resume (used inside tests/benchmarks that don't exercise
+  recovery);
+- ``dir=...`` → Parquet write + read-back: durable, resumable, and also
+  truncates lineage (the read-back plan is a fresh scan).
+
+Filesystem access goes through the Hadoop ``FileSystem`` API (via the
+session's JVM gateway), so the same code works on ``file:``, ``hdfs:``
+or ``s3a:`` checkpoint locations — required on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "manifest.json"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, hpath, _ = _fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath, jvm = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def partition_lineage(df: DataFrame) -> list[dict[str, int]]:
+    """Rows per physical partition — the per-partition lineage record."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows"))
+        .orderBy("partition_id")
+        .collect()
+    )
+    return [{"partition_id": r["partition_id"], "rows": r["rows"]} for r in rows]
+
+
+class CheckpointManager:
+    """Per-iteration snapshot + manifest directory layout::
+
+        {dir}/iter_00003/state.parquet/...
+        {dir}/iter_00003/manifest.json      <- written last (commit marker)
+    """
+
+    def __init__(self, spark: SparkSession, directory: str | None):
+        self.spark = spark
+        self.dir = directory.rstrip("/") if directory else None
+
+    def enabled(self) -> bool:
+        return self.dir is not None
+
+    def _iter_dir(self, iteration: int) -> str:
+        return f"{self.dir}/iter_{iteration:05d}"
+
+    def save(
+        self,
+        iteration: int,
+        state: DataFrame,
+        meta: dict[str, Any],
+        collect_lineage: bool = True,
+    ) -> DataFrame:
+        """Snapshot ``state``; return the read-back (lineage-truncated) DF."""
+        if not self.enabled():
+            return state.localCheckpoint(eager=True)
+        d = self._iter_dir(iteration)
+        state.write.mode("overwrite").parquet(f"{d}/state.parquet")
+        reloaded = self.spark.read.parquet(f"{d}/state.parquet")
+        manifest = dict(meta)
+        manifest["iteration"] = iteration
+        if collect_lineage:
+            manifest["partitions"] = partition_lineage(reloaded)
+            manifest["rows"] = sum(p["rows"] for p in manifest["partitions"])
+        manifest["complete"] = True
+        _write_text(self.spark, f"{d}/{MANIFEST}", json.dumps(manifest, indent=1))
+        return reloaded
+
+    def completed_iterations(self) -> list[int]:
+        if not self.enabled():
+            return []
+        fs, hpath, _ = _fs(self.spark, self.dir)
+        if not fs.exists(hpath):
+            return []
+        out = []
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if not name.startswith("iter_"):
+                continue
+            mpath = f"{self.dir}/{name}/{MANIFEST}"
+            mfs, mh, _ = _fs(self.spark, mpath)
+            if mfs.exists(mh):
+                try:
+                    if json.loads(_read_text(self.spark, mpath)).get("complete"):
+                        out.append(int(name.split("_")[1]))
+                except Exception:
+                    continue
+        return sorted(out)
+
+    def latest(self) -> tuple[int, DataFrame, dict[str, Any]] | None:
+        """Newest complete snapshot → (iteration, state, manifest) or None."""
+        done = self.completed_iterations()
+        if not done:
+            return None
+        it = done[-1]
+        d = self._iter_dir(it)
+        manifest = json.loads(_read_text(self.spark, f"{d}/{MANIFEST}"))
+        return it, self.spark.read.parquet(f"{d}/state.parquet"), manifest
+
+    def manifest(self, iteration: int) -> dict[str, Any]:
+        return json.loads(
+            _read_text(self.spark, f"{self._iter_dir(iteration)}/{MANIFEST}")
+        )

@@ -1,0 +1,268 @@
+"""Damped power-iteration PageRank as a per-iteration DataFrame DAG.
+
+Semantics are the reference's, re-derived (not ported) from
+``pkg/graph/pagerank.go:11-52`` and ``pkg/node/master.go:106-189``:
+
+- update: ``rank'(u) = c * Σ_{v→u} rank(v)/out_degree(v) + (1-c) * E(u)``
+  (scatter ``workerMap`` worker.go:95-103 + gather master.go:336-360 +
+  reduce ``workerReduce`` worker.go:105-111);
+- convergence: L1 delta ``Σ|rank'-rank| <= eps`` (distributed form,
+  master.go:158) with a hard cap of ``max_iter`` (default 100,
+  pagerank.go:12);
+- dangling vertices contribute nothing per iteration (the reference never
+  redistributes dangling mass); total mass is repaired by a one-shot
+  normalization ``rank /= Σrank`` at convergence (pagerank.go:38-45).
+  ``dangling='redistribute'`` opts into classic per-iteration dangling-mass
+  redistribution instead (mass-conserving).
+- ``E`` is an explicit input (the reference's is unseeded random,
+  graph.go:83 — irreproducible); defaults to uniform ``1/|V|`` and is
+  normalized to sum 1 like the reference load path (graph.go:93-97).
+
+The per-iteration physical plan is: one shuffle of the rank vector into
+the (cached, pre-partitioned) edge table's layout, one aggregation shuffle
+keyed by ``dst`` (map-side partial combine — optionally salted two-stage
+for hubs), one left join back to the vertex table, and a scalar delta agg.
+The static ``edges ⋈ out_degree`` product is computed once, repartitioned
+by ``src`` and persisted so iterations never reshuffle the (huge) edge
+table — only the (|V|-sized) rank vector moves.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_pagerank_spark.operators.degrees import (
+    out_degrees,
+    vertices_from_edges,
+)
+from distributed_pagerank_spark.operators.salting import hub_ids, salted_sum
+from distributed_pagerank_spark.plans.loop import CheckpointManager
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id long, rank double)
+    iterations: int
+    delta: float
+    converged: bool
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def _prepare_edges(
+    spark: SparkSession,
+    edges: DataFrame,
+    dup_policy: str,
+    num_partitions: int,
+) -> DataFrame:
+    """Static per-run edge product: (src, dst, out_degree), partitioned by
+    src and persisted. The in-link side dedups duplicates in both policies
+    (the reference stores in-links in a map, collapsing dups); the
+    out-degree side depends on dup_policy (SURVEY §2.1 S4 quirk)."""
+    deg = out_degrees(edges, dup_policy)
+    e = edges.distinct()
+    ew = (
+        e.join(deg, e["src"] == deg["id"])
+        .select("src", "dst", "out_degree")
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    ew.count()  # materialize so iterations reuse the layout
+    return ew
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    c: float = 0.85,
+    eps: float = 1e-6,
+    max_iter: int = 100,
+    e: DataFrame | None = None,
+    dup_policy: str = "distinct",
+    dangling: str = "reference",
+    normalize_e: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 1,
+    resume: bool = True,
+    skew_salt: int | None = None,
+    hub_threshold: int | None = None,
+    num_partitions: int | None = None,
+) -> PageRankResult:
+    """Run PageRank to L1 convergence.
+
+    Parameters mirror the reference's ``Configuration`` (c, threshold,
+    graph) plus the scale knobs the reference lacks. ``e`` is an optional
+    ``(id, e)`` DataFrame; ``skew_salt=S`` enables two-stage salted
+    aggregation over hubs with in-degree > ``hub_threshold``.
+    """
+    if not 0.0 < c < 1.0:
+        raise ValueError("damping c must be in (0,1)")
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ckpt = CheckpointManager(spark, checkpoint_dir)
+
+    edges_w = _prepare_edges(spark, edges, dup_policy, num_partitions)
+    verts = vertices_from_edges(edges)
+
+    # Resume safety: a checkpoint directory is only valid for the same
+    # (graph, parameters) job. Fingerprint = order-insensitive hash of the
+    # distinct edge set + the semantic knobs; one cheap agg over the cached
+    # edge product, only paid when checkpointing is on.
+    fingerprint = None
+    if ckpt.enabled():
+        agg = edges_w.agg(
+            F.count("*").alias("m"),
+            F.sum(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        fingerprint = f"pagerank|c={c}|eps={eps}|dup={dup_policy}|" \
+                      f"dangling={dangling}|m={agg['m']}|h={agg['h']}"
+
+    # --- E vector ----------------------------------------------------
+    if e is not None:
+        verts = verts.join(e, "id", "left").withColumn(
+            "e", F.coalesce(F.col("e"), F.lit(0.0)).cast("double")
+        )
+        if normalize_e:
+            total_e = verts.agg(F.sum("e")).first()[0] or 1.0
+            verts = verts.withColumn("e", F.col("e") / F.lit(float(total_e)))
+    else:
+        n0 = verts.count()
+        if n0 == 0:
+            raise ValueError("empty edge table: no vertices to rank")
+        verts = verts.withColumn("e", F.lit(1.0 / n0))
+
+    # --- initial state / resume --------------------------------------
+    start_iter, state, last_delta = 0, None, float("inf")
+    if resume and ckpt.enabled():
+        latest = ckpt.latest()
+        if latest is not None:
+            it, st, manifest = latest
+            if manifest.get("fingerprint") == fingerprint:
+                start_iter, state = it, st
+                last_delta = manifest.get("delta", float("inf"))
+                if manifest.get("converged"):
+                    return PageRankResult(
+                        st.select("id", "rank"), it, last_delta, True
+                    )
+            # mismatched fingerprint: stale dir from another job — start fresh
+    if state is None:
+        n = verts.count()
+        if n == 0:
+            raise ValueError("empty edge table: no vertices to rank")
+        state = verts.select(
+            "id", "e", F.lit(1.0 / n).alias("rank")
+        ).repartition(num_partitions, "id")
+        state = state.localCheckpoint(eager=True)
+    n = state.count()
+
+    # --- dangling set (for redistribute mode) ------------------------
+    dangling_ids = None
+    if dangling == "redistribute":
+        dangling_ids = (
+            verts.select("id")
+            .join(edges_w.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+            .persist()
+        )
+        dangling_ids.count()
+
+    hubs = None
+    if skew_salt:
+        thr = hub_threshold if hub_threshold is not None else max(
+            64, int(edges_w.count() / max(n, 1)) * 16
+        )
+        hubs = hub_ids(edges_w, thr).persist()
+        hubs.count()
+
+    metrics: list[dict[str, Any]] = []
+    iteration = start_iter
+    converged = last_delta <= eps
+    delta = last_delta
+
+    while not converged and iteration < max_iter:
+        iteration += 1
+        t0 = time.monotonic()
+
+        ranks = state.select("id", "rank")
+        contribs = edges_w.join(ranks, edges_w["src"] == ranks["id"]).select(
+            "src", "dst", (F.col("rank") / F.col("out_degree")).alias("contrib")
+        )
+        if hubs is not None:
+            sums = salted_sum(
+                contribs, hubs, key="dst", value="contrib",
+                salt_buckets=skew_salt, salt_source="src",
+            )
+        else:
+            sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("sum"))
+
+        base = F.coalesce(F.col("sum"), F.lit(0.0))
+        if dangling == "redistribute":
+            dm = (
+                state.join(dangling_ids, "id", "left_semi")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+            base = base + F.lit(float(dm) / n)
+
+        new_state = (
+            state.join(sums, state["id"] == sums["dst"], "left")
+            .select(
+                "id",
+                "e",
+                F.col("rank").alias("rank_old"),
+                (F.lit(c) * base + F.lit(1.0 - c) * F.col("e")).alias("rank"),
+            )
+        )
+
+        t1 = time.monotonic()
+        # ONE job per iteration: the localCheckpoint materializes the DAG
+        # (truncating lineage) while an Observation computes the L1 delta
+        # as a side-effect — no second pass over the rank vector.
+        obs = Observation(f"pagerank_delta_{iteration}")
+        snapshot = new_state.observe(
+            obs, F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta")
+        ).localCheckpoint(eager=True)
+        t2 = time.monotonic()
+        delta = obs.get["delta"] or 0.0
+        t3 = time.monotonic()
+        converged = delta <= eps
+        state = snapshot.select("id", "e", "rank")
+
+        iter_metrics = {
+            "iteration": iteration,
+            "delta": delta,
+            "converged": converged,
+            "update_plan_s": round(t1 - t0, 4),
+            "materialize_s": round(t2 - t1, 4),
+            "delta_agg_s": round(t3 - t2, 4),
+        }
+        do_ckpt = ckpt.enabled() and (
+            iteration % checkpoint_interval == 0 or converged or iteration >= max_iter
+        )
+        if do_ckpt:
+            state = ckpt.save(
+                iteration,
+                state,
+                {"algo": "pagerank", "delta": delta, "converged": converged,
+                 "fingerprint": fingerprint, "metrics": iter_metrics},
+            )
+        iter_metrics["total_s"] = round(time.monotonic() - t0, 4)
+        metrics.append(iter_metrics)
+
+    # --- final normalization (reference: pagerank.go:38-45) ----------
+    ranks = state.select("id", "rank")
+    if dangling == "reference":
+        total = ranks.agg(F.sum("rank")).first()[0] or 1.0
+        ranks = ranks.withColumn("rank", F.col("rank") / F.lit(float(total)))
+
+    edges_w.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
+    if dangling_ids is not None:
+        dangling_ids.unpersist()
+    return PageRankResult(ranks, iteration, delta, converged, metrics)

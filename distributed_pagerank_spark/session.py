@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults match the sandbox (single JVM, many cores); on a real
+cluster the same settings apply except master/memory, which come from
+``spark-submit``. AQE stays on: it coalesces the per-iteration shuffles of
+small frontiers and splits skewed join partitions at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "distributed_pagerank_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; under
+    ``spark-submit`` on a cluster, leave it None and don't set the env var.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus:
+            master = f"local[{cpus}]"
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # Iterative plans grow deep; keep the analyzer/optimizer from
+        # re-walking stale cached plan fragments.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

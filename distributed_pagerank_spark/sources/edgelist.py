@@ -1,0 +1,37 @@
+"""Edge-list text file source.
+
+Replicates the reference loader's accepted format
+(``pkg/graph/graph.go:178-196`` ``convertLine``): lines are
+``FromNode ToNode`` — space- or comma-separated — with ``#``, ``//`` and
+blank lines skipped; only the FIRST space is significant (the reference
+replaces the first space with a comma, then CSV-splits).
+
+Spark-first: ``spark.read.text`` + JVM-side regexp/split — the parse is
+whole-stage-codegen'd, pushdown-friendly, and scales to any file size; no
+Python per line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_edge_list(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-format edge-list file into ``edges(src, dst)``."""
+    lines = spark.read.text(path)
+    cleaned = lines.select(F.trim("value").alias("line")).where(
+        (F.col("line") != "")
+        & ~F.col("line").startswith("#")
+        & ~F.col("line").startswith("//")
+    )
+    # first space → comma (regexp_replace with limit is not exposed; emulate
+    # with a non-greedy capture of everything before the first whitespace)
+    norm = cleaned.select(
+        F.regexp_replace("line", r"^(\S+)\s+", r"$1,").alias("line")
+    )
+    parts = norm.select(F.split("line", ",").alias("p"))
+    return parts.select(
+        F.element_at("p", 1).cast("long").alias("src"),
+        F.element_at("p", 2).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())

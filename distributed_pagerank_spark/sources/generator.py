@@ -1,0 +1,64 @@
+"""Seeded random graph generator.
+
+Deterministic replica of the reference generator semantics
+(``pkg/graph/graph.go:101-166`` ``Generate``): for each vertex ``u`` in
+``[0, n)`` pick ``k ~ U[1, max_edges]`` random targets ≠ self (duplicates
+collapse), then add a chain edge ``u-1 → u`` for every ``u ≥ 1`` to force
+connectivity. The reference uses unseeded ``math/rand`` (irreproducible by
+design); this generator is seeded via ``xxhash64`` so it is identical
+across runs AND partition counts — required for the fixture battery and
+the scaling benchmark.
+
+Implementation is pure DataFrame (``spark.range`` + ``explode(sequence)``
++ hash-mod), so generating 10^9 edges is embarrassingly parallel with no
+driver data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def generate_graph(
+    spark: SparkSession,
+    n: int,
+    max_edges: int = 5,
+    seed: int = 42,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Generate ``edges(src long, dst long)`` for a seeded random graph."""
+    if n < 2:
+        raise ValueError("need at least 2 vertices")
+    v = spark.range(n, numPartitions=n_partitions).withColumnRenamed("id", "src")
+    # k ~ U[1, max_edges]
+    v = v.withColumn(
+        "k",
+        (F.lit(1) + F.pmod(F.xxhash64("src", F.lit(seed)), F.lit(max_edges))).cast(
+            "int"
+        ),
+    )
+    rand_edges = v.select(
+        "src", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("j")
+    ).select(
+        "src",
+        F.pmod(F.xxhash64("src", "j", F.lit(seed + 1)), F.lit(n)).alias("dst"),
+    )
+    # exclude self-loops like the reference generator (graph.go:110-112):
+    # re-aim a self-loop at (dst+1) mod n instead of rejecting, to stay
+    # sample-free and deterministic.
+    rand_edges = rand_edges.withColumn(
+        "dst",
+        F.when(F.col("dst") == F.col("src"), F.pmod(F.col("dst") + 1, F.lit(n))).otherwise(
+            F.col("dst")
+        ),
+    )
+    chain = spark.range(1, n, numPartitions=n_partitions).select(
+        (F.col("id") - 1).alias("src"), F.col("id").alias("dst")
+    )
+    return (
+        rand_edges.select("src", "dst")
+        .unionByName(chain)
+        .distinct()
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )

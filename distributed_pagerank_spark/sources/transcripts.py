@@ -1,0 +1,162 @@
+"""Transcript table source and edge derivation.
+
+The production input (BASELINE.json ``input_hint``) is an Iceberg table of
+multi-turn conversation / agent transcripts::
+
+    transcripts(conv_id string, turn_idx int, role string,
+                text string, tool string, ts timestamp)
+
+From it the engine derives the link graph ``edges(src long, dst long)``:
+
+- **reply-to edges**: within each conversation, turn *i* links to turn
+  *i-1* under the stable ``(conv_id, turn_idx)`` ordering;
+- **tool-invocation edges**: an ``assistant`` turn with a non-null ``tool``
+  links to the next ``tool``-role turn in the same conversation
+  (caller → result adjacency).
+
+Vertex ids are ``xxhash64(conv_id, turn_idx)`` — shuffle-free,
+deterministic, and collision-safe enough at 10^12 turns (birthday bound
+~3e-4); the reference's ``int32`` ids (``pkg/graph/graph.go:16``) would
+overflow at that scale.
+
+Everything here is pure DataFrame + window functions — no per-row Python —
+so at 100 TB the derivation is one shuffle (the window partition by
+``conv_id``) followed by narrow maps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOOL_NAMES = ["search", "python", "browser", "calculator", "sql"]
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_convs: int,
+    min_turns: int = 3,
+    max_turns: int = 12,
+    tool_call_rate: float = 0.5,
+    seed: int = 42,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic, seeded synthetic transcripts (FIXTURES.md §1).
+
+    Scales linearly via ``spark.range`` — no driver-side data. Roles cycle
+    ``user → assistant → tool``; an assistant turn invokes a tool with
+    probability ``tool_call_rate`` (seeded hash, not RNG state, so the table
+    is identical across partition counts and runs).
+    """
+    rng = F.xxhash64  # deterministic per-cell "randomness"
+    conv = spark.range(n_convs, numPartitions=n_partitions).select(
+        F.format_string("conv-%08d", F.col("id")).alias("conv_id"),
+        F.col("id").alias("conv_seq"),
+    )
+    span = max_turns - min_turns + 1
+    conv = conv.withColumn(
+        "n_turns",
+        (F.lit(min_turns) + F.pmod(rng("conv_id", F.lit(seed)), F.lit(span))).cast(
+            "int"
+        ),
+    )
+    turns = conv.select(
+        "conv_id",
+        "conv_seq",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    )
+    role = (
+        F.when(F.pmod("turn_idx", F.lit(3)) == 0, F.lit("user"))
+        .when(F.pmod("turn_idx", F.lit(3)) == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+    )
+    turns = turns.withColumn("role", role)
+    calls_tool = (F.col("role") == "assistant") & (
+        F.pmod(rng("conv_id", "turn_idx", F.lit(seed + 1)), F.lit(1000))
+        < int(tool_call_rate * 1000)
+    )
+    tool_idx = F.pmod(rng("conv_id", "turn_idx", F.lit(seed + 2)), F.lit(len(TOOL_NAMES)))
+    tool_name = F.element_at(
+        F.array(*[F.lit(t) for t in TOOL_NAMES]), (tool_idx + 1).cast("int")
+    )
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        F.concat_ws(":", "conv_id", "turn_idx", "role").alias("text"),
+        F.when(calls_tool, tool_name).alias("tool"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("conv_seq") * 3600 + F.col("turn_idx"))
+        ).alias("ts"),
+    )
+
+
+def vertex_id(conv_id, turn_idx):
+    """Deterministic 64-bit vertex id for a turn."""
+    return F.xxhash64(conv_id, turn_idx.cast("int") if hasattr(turn_idx, "cast") else turn_idx)
+
+
+def derive_edges(
+    transcripts: DataFrame,
+    reply_to: bool = True,
+    tool_invocation: bool = True,
+    dedup: bool = True,
+) -> DataFrame:
+    """Transcripts → ``edges(src long, dst long)``.
+
+    One window shuffle on ``conv_id`` produces both edge kinds; the stable
+    ``turn_idx`` ordering is the per-row invariant demanded by the
+    BASELINE input_hint (tested in tests/test_transcripts.py).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        "tool",
+        F.xxhash64("conv_id", F.col("turn_idx").cast("int")).alias("vid"),
+    )
+    parts = []
+    if reply_to:
+        prev = F.lag("vid").over(w)
+        parts.append(
+            t.withColumn("dst", prev)
+            .where(F.col("dst").isNotNull())
+            .select(F.col("vid").alias("src"), "dst")
+        )
+    if tool_invocation:
+        nxt_vid = F.lead("vid").over(w)
+        nxt_role = F.lead("role").over(w)
+        parts.append(
+            t.withColumn("nxt_vid", nxt_vid)
+            .withColumn("nxt_role", nxt_role)
+            .where(
+                (F.col("role") == "assistant")
+                & F.col("tool").isNotNull()
+                & (F.col("nxt_role") == "tool")
+            )
+            .select(F.col("vid").alias("src"), F.col("nxt_vid").alias("dst"))
+        )
+    if not parts:
+        raise ValueError("at least one edge kind must be enabled")
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    if dedup:
+        edges = edges.distinct()
+    return edges
+
+
+def turn_text_invariant(transcripts: DataFrame) -> DataFrame:
+    """Per-turn text equality check under stable (conv_id, turn_idx) order.
+
+    Returns rows violating ``text == concat(conv_id,':',turn_idx,':',role)``
+    for the synthetic table — used by tests to prove derivation does not
+    permute or alter rows (BASELINE input_hint invariant).
+    """
+    return transcripts.where(
+        F.col("text") != F.concat_ws(":", "conv_id", "turn_idx", "role")
+    )

@@ -1,0 +1,131 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from distributed_pagerank_spark.oracle import numpy_pagerank
+from distributed_pagerank_spark.plans.pagerank import pagerank
+from distributed_pagerank_spark.sources.generator import generate_graph
+
+from tests.conftest import ALL_FIXTURES, edges_df
+
+C, EPS = 0.85, 1e-6
+# Fixture battery uses fixed-iteration parity (eps=0, 10 rounds): identical
+# update math as the convergent runs, bounded wall-clock. Full 1e-6
+# convergence (incl. iteration-count parity) is covered by the two
+# *_to_convergence tests below.
+FIXED_ITERS = 10
+
+
+def spark_ranks(spark, pairs, **kw):
+    res = pagerank(spark, edges_df(spark, pairs), c=C, **kw)
+    return {r["id"]: r["rank"] for r in res.ranks.collect()}, res
+
+
+def assert_close(got, want, tol=1e-6):
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], abs_tol=tol), (v, got[v], want[v])
+
+
+@pytest.mark.parametrize("name", sorted(ALL_FIXTURES))
+def test_fixture_matches_oracle_fixed_iters(spark, name):
+    pairs = ALL_FIXTURES[name]
+    got, res = spark_ranks(spark, pairs, eps=0.0, max_iter=FIXED_ITERS)
+    want, want_iters, _ = numpy_pagerank(pairs, c=C, eps=0.0, max_iter=FIXED_ITERS)
+    # DAG-ish fixtures become exactly stationary early (delta hits 0.0);
+    # Spark and the oracle must agree on when.
+    assert res.iterations == want_iters
+    assert_close(got, want)
+
+
+def test_chain5_to_convergence(spark):
+    pairs = ALL_FIXTURES["chain5"]
+    got, res = spark_ranks(spark, pairs, eps=EPS)
+    want, want_iters, _ = numpy_pagerank(pairs, c=C, eps=EPS)
+    assert res.converged and res.iterations == want_iters
+    assert_close(got, want)
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_generated_graph_to_convergence(spark):
+    # reference web-UI demo scale: n=30, max_edges=5 (cmd/client/main.go:169-199)
+    edges = generate_graph(spark, 30, max_edges=5, seed=42)
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    res = pagerank(spark, edges, c=C, eps=EPS)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    want, want_iters, _ = numpy_pagerank(pairs, c=C, eps=EPS)
+    assert res.converged and res.iterations == want_iters
+    assert_close(got, want)
+
+
+def test_cycle_uniform(spark):
+    got, _ = spark_ranks(spark, ALL_FIXTURES["cycle4"], eps=EPS, max_iter=20)
+    for v, r in got.items():
+        assert math.isclose(r, 0.25, abs_tol=1e-6)
+
+
+def test_dup_policy_reference_quirk(spark):
+    pairs = ALL_FIXTURES["dup_edges"]
+    got, _ = spark_ranks(
+        spark, pairs, eps=0.0, max_iter=FIXED_ITERS, dup_policy="reference"
+    )
+    want, _, _ = numpy_pagerank(
+        pairs, c=C, eps=0.0, max_iter=FIXED_ITERS, dup_policy="reference"
+    )
+    assert_close(got, want)
+    got_d, _ = spark_ranks(spark, pairs, eps=0.0, max_iter=FIXED_ITERS)
+    assert not math.isclose(got_d[1], got[1], abs_tol=1e-9)
+
+
+def test_dangling_redistribute_conserves_mass(spark):
+    pairs = ALL_FIXTURES["chain5"]
+    got, _ = spark_ranks(
+        spark, pairs, eps=0.0, max_iter=FIXED_ITERS, dangling="redistribute"
+    )
+    want, _, _ = numpy_pagerank(
+        pairs, c=C, eps=0.0, max_iter=FIXED_ITERS, dangling="redistribute"
+    )
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+    assert_close(got, want)
+
+
+def test_custom_e_vector(spark):
+    pairs = ALL_FIXTURES["cycle4"]
+    e = {0: 0.7, 1: 0.1, 2: 0.1, 3: 0.1}
+    e_df = spark.createDataFrame(list(e.items()), "id long, e double")
+    got, _ = spark_ranks(spark, pairs, eps=0.0, max_iter=FIXED_ITERS, e=e_df)
+    want, _, _ = numpy_pagerank(pairs, c=C, eps=0.0, max_iter=FIXED_ITERS, e=e)
+    assert_close(got, want)
+    assert got[0] > got[1]  # personalization pulls rank toward 0
+
+
+def test_salted_aggregation_identical(spark):
+    edges = generate_graph(spark, 50, max_edges=8, seed=7)
+    base = pagerank(spark, edges, c=C, eps=0.0, max_iter=FIXED_ITERS)
+    salted = pagerank(
+        spark, edges, c=C, eps=0.0, max_iter=FIXED_ITERS, skew_salt=8,
+        hub_threshold=2,
+    )
+    b = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    s = {r["id"]: r["rank"] for r in salted.ranks.collect()}
+    for v in b:
+        assert math.isclose(b[v], s[v], abs_tol=1e-9)
+
+
+def test_partition_count_invariance(spark):
+    edges = generate_graph(spark, 40, max_edges=4, seed=11)
+    a = pagerank(spark, edges, c=C, eps=0.0, max_iter=FIXED_ITERS, num_partitions=2)
+    b = pagerank(spark, edges, c=C, eps=0.0, max_iter=FIXED_ITERS, num_partitions=8)
+    ra = {r["id"]: r["rank"] for r in a.ranks.collect()}
+    rb = {r["id"]: r["rank"] for r in b.ranks.collect()}
+    for v in ra:
+        assert math.isclose(ra[v], rb[v], abs_tol=1e-12)
+
+
+def test_max_iter_cap(spark):
+    res = pagerank(
+        spark, edges_df(spark, ALL_FIXTURES["chain5"]), c=C, eps=0.0, max_iter=5
+    )
+    assert res.iterations == 5 and not res.converged
