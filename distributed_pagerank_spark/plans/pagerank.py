@@ -117,7 +117,7 @@ def pagerank(
     if ckpt.enabled():
         agg = edges_w.agg(
             F.count("*").alias("m"),
-            F.sum(F.xxhash64("src", "dst")).alias("h"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
         ).first()
         fingerprint = f"pagerank|c={c}|eps={eps}|dup={dup_policy}|" \
                       f"dangling={dangling}|m={agg['m']}|h={agg['h']}"

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_pagerank_spark.sources.transcripts import (
+    derive_edges,
+    synth_transcripts,
+    turn_text_invariant,
+)
+from distributed_pagerank_spark.sources.edgelist import read_edge_list
+
+
+def test_schema_and_determinism(spark):
+    t1 = synth_transcripts(spark, 50, seed=42)
+    t2 = synth_transcripts(spark, 50, seed=42, n_partitions=7)
+    assert [f.name for f in t1.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    # identical across runs and partition counts
+    a = sorted(map(tuple, t1.collect()))
+    b = sorted(map(tuple, t2.collect()))
+    assert a == b
+    # turn_idx dense per conversation
+    bad = (
+        t1.groupBy("conv_id")
+        .agg(F.min("turn_idx").alias("mn"), F.max("turn_idx").alias("mx"),
+             F.count("*").alias("n"))
+        .where((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_text_invariant_holds(spark):
+    t = synth_transcripts(spark, 30, seed=1)
+    assert turn_text_invariant(t).count() == 0
+
+
+def test_reply_to_edges(spark):
+    t = synth_transcripts(spark, 20, seed=42)
+    edges = derive_edges(t, reply_to=True, tool_invocation=False)
+    # each conversation with k turns yields k-1 reply edges
+    n_turns = t.count()
+    n_convs = t.select("conv_id").distinct().count()
+    assert edges.count() == n_turns - n_convs
+
+
+def test_tool_edges_point_to_tool_turns(spark):
+    t = synth_transcripts(spark, 40, seed=42, tool_call_rate=1.0)
+    vid = F.xxhash64("conv_id", F.col("turn_idx").cast("int"))
+    turns = t.select(vid.alias("vid"), "role", "turn_idx", "tool")
+    edges = derive_edges(t, reply_to=False, tool_invocation=True)
+    # every src is an assistant turn with a tool; every dst is a tool turn
+    src_roles = (
+        edges.join(turns, edges["src"] == turns["vid"]).select("role", "tool").collect()
+    )
+    assert all(r["role"] == "assistant" and r["tool"] is not None for r in src_roles)
+    dst_roles = edges.join(turns, edges["dst"] == turns["vid"]).select("role").collect()
+    assert all(r["role"] == "tool" for r in dst_roles)
+    # with rate=1.0 every assistant turn followed by a tool turn emits an edge
+    n_assistant_with_followup = (
+        t.where(F.col("role") == "assistant")
+        .join(
+            t.select("conv_id", (F.col("turn_idx") - 1).alias("turn_idx"),
+                     F.col("role").alias("next_role")),
+            ["conv_id", "turn_idx"],
+        )
+        .where(F.col("next_role") == "tool")
+        .count()
+    )
+    assert edges.count() == n_assistant_with_followup
+
+
+def test_edge_determinism_across_partitioning(spark):
+    t = synth_transcripts(spark, 25, seed=7)
+    e1 = sorted(map(tuple, derive_edges(t).collect()))
+    e2 = sorted(map(tuple, derive_edges(t.repartition(13)).collect()))
+    assert e1 == e2
+
+
+def test_edgelist_reader(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text(
+        "# comment line\n"
+        "// another comment\n"
+        "\n"
+        "0 1\n"
+        "1,2\n"
+        "2 3\n"
+    )
+    got = sorted(map(tuple, read_edge_list(spark, str(p)).collect()))
+    assert got == [(0, 1), (1, 2), (2, 3)]
