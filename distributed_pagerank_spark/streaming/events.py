@@ -1,0 +1,74 @@
+"""Structured Streaming surface.
+
+The reference engine is batch-iterative (its only 'stream' is a browser
+SSE channel, ``cmd/client/main.go:97-141`` — UI plumbing, SURVEY §1.3), so
+streaming is additive capability, not parity: windowed event aggregation
+with watermarked late-data handling, plus gap-based sessionization usable
+in both batch and streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type.
+
+    Batch mode mirrors the streaming query exactly (same plan shape) so
+    results are comparable; streaming adds the watermark for state expiry.
+    """
+    # parquet timestamps may be NTZ; watermarks require TIMESTAMP (ltz).
+    # Cast in BOTH modes so batch and streaming outputs are comparable
+    # (session timezone is pinned to UTC in get_spark).
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if streaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, user_col: str = "user_id"
+) -> DataFrame:
+    """Gap-based sessions per user (batch): lag + cumulative sum over the
+    per-user time order. → one row per session with bounds and counts."""
+    w = W.partitionBy(user_col).orderBy("ts")
+    # NTZ can't cast straight to long; go through TIMESTAMP first
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return marked.groupBy(user_col, "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def stream_events_from_parquet(spark, path: str, schema=None) -> DataFrame:
+    """readStream entry for a parquet directory (smoke/testing; production
+    would be Kafka). Schema required by Structured Streaming."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)

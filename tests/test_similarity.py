@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_pagerank_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def numpy_topk(emb_rows, q_rows, k):
+    import numpy as np
+
+    ids = np.array([r.vec_id for r in emb_rows])
+    m = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for q in q_rows:
+        v = np.array(q.embedding, dtype=np.float64)
+        v /= np.linalg.norm(v)
+        s = m @ v
+        order = np.lexsort((ids, -s))[:k]
+        out[q.query_id] = list(ids[order])
+    return out
+
+
+def test_brute_force_pandas_matches_numpy(spark, emb, queries):
+    got = brute_force_topk(emb, queries, k=5, method="pandas").collect()
+    want = numpy_topk(emb.collect(), queries.collect(), 5)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rk)):
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert by_q == {q: want[q] for q in by_q}
+    # self-match ranks first with sim ~1
+    firsts = {r.query_id: (r.vec_id, r.cos_sim) for r in got if r.rk == 1}
+    for q, (vid, sim) in firsts.items():
+        assert vid == q and math.isclose(sim, 1.0, abs_tol=1e-9)
+
+
+def test_sql_and_pandas_methods_agree(spark, emb, queries):
+    a = brute_force_topk(emb, queries, k=5, method="sql").collect()
+    b = brute_force_topk(emb, queries, k=5, method="pandas").collect()
+    ka = {(r.query_id, r.rk): r.vec_id for r in a}
+    kb = {(r.query_id, r.rk): r.vec_id for r in b}
+    assert ka == kb
+
+
+def test_lsh_recall_vs_brute(spark, emb, queries):
+    exact = brute_force_topk(emb, queries, k=10, method="pandas").collect()
+    # 4 planes → 16 buckets over 500 quasi-random vectors; more planes
+    # would over-partition data this unclustered (recall/cost knob).
+    approx = lsh_topk(emb, queries, k=10, n_planes=4).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    ap = {}
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) > 0.5  # multiprobe LSH, loose bound
+    # self-match must always be found (same bucket trivially)
+    for q in ex:
+        assert q in ap.get(q, set())
+
+
+def test_embedding_near_duplicates_finds_planted(spark, emb):
+    # plant an exact duplicate of vec 0 with a new id
+    dup = emb.where(F.col("vec_id") == 0).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    with_dup = emb.unionByName(dup)
+    pairs = embedding_near_duplicates(with_dup, threshold=0.999).collect()
+    assert any(r.id_a == 0 and r.id_b == 99999 for r in pairs)

@@ -1,0 +1,136 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_pagerank_spark.functions.text import (
+    lang_id,
+    normalized_fingerprint,
+    quality_score,
+    token_count,
+    winnow_fingerprints,
+    word_shingles,
+)
+from distributed_pagerank_spark.operators.dedup import (
+    exact_duplicates,
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+DOCS = [
+    (1, "the cat sat on the mat and looked at the dog"),
+    (2, "the cat sat on the mat and looked at the dog"),          # exact dup of 1
+    (3, "the cat sat on the mat and stared at the dog"),          # near dup of 1
+    (4, "der hund und die katze ist das haus der tiere und mehr"),
+    (5, "completely different words entirely unrelated content here"),
+    (6, "THE CAT SAT ON THE MAT, AND LOOKED AT THE DOG!"),        # dup after norm
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    rows = {r.doc_id: r.n for r in docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert rows[1] == 11
+    empty = spark.createDataFrame([(1, ""), (2, "  "), (3, "one")], "doc_id long, text string")
+    got = {r.doc_id: r.n for r in empty.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_lang_id(spark, docs):
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+    assert got[5] == "und"
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = docs.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_exact_dedup(spark, docs):
+    dups = exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_docs"] == 3  # 1, 2, and 6 (normalization)
+    assert dups[0]["keep_id"] == 1
+    kept = dedup_exact(docs)
+    assert kept.count() == 4
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = df.select(word_shingles("text", 3).alias("s")).first()["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert short.select(word_shingles("text", 3).alias("s")).first()["s"] == []
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and math.isclose(pairs[(1, 2)], 1.0)
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    exact = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, threshold=0.3).collect()}
+    approx = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.3, num_hashes=128, bands=32).collect()
+    }
+    assert (1, 2) in approx and approx[(1, 2)] == 1.0
+    assert (1, 3) in approx
+    assert abs(approx[(1, 3)] - exact[(1, 3)]) < 0.25  # 128 hashes ≈ ±0.09 σ
+
+
+def test_minhash_deterministic_across_partitioning(spark, docs):
+    s1 = {r.id: tuple(r.sig) for r in minhash_signatures(docs, 32).collect()}
+    s2 = {r.id: tuple(r.sig) for r in minhash_signatures(docs.repartition(5), 32).collect()}
+    assert s1 == s2
+
+
+def test_simhash_pairs(spark, docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 10
+    assert not any({a, b} == {1, 5} for a, b in got)
+
+
+def test_winnow_fingerprints(spark, docs):
+    fp = docs.select("doc_id", winnow_fingerprints("text").alias("fp"))
+    got = {r.doc_id: set(r.fp) for r in fp.collect()}
+    assert got[1] == got[2]            # identical docs → identical sketch
+    inter = len(got[1] & got[3]) / len(got[1] | got[3])
+    assert inter > 0.3                 # near dups share most fingerprints
+    assert len(got[1] & got[5]) == 0   # unrelated docs share none
+
+
+def test_fingerprint_normalization(spark, docs):
+    fp = {r.doc_id: r.f for r in docs.select("doc_id", normalized_fingerprint("text").alias("f")).collect()}
+    assert fp[1] == fp[6] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_on_real_documents_table(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("tokens"),
+        lang_id("text").alias("pred_lang"),
+        quality_score("text").alias("q"),
+    )
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r.tokens > 0 and 0 <= r.q <= 1 for r in rows)
