@@ -44,17 +44,25 @@ def windowed_event_counts(
 
 
 def sessionize(
-    events: DataFrame, gap_minutes: int = 30, user_col: str = "user_id"
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Gap-based sessions per user (batch): lag + cumulative sum over the
-    per-user time order. → one row per session with bounds and counts."""
-    w = W.partitionBy(user_col).orderBy("ts")
-    # NTZ can't cast straight to long; go through TIMESTAMP first
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    per-user time order. → one row per session with bounds and counts.
+    ``tiebreak_col`` makes the ordering total when timestamps can collide
+    (required for cross-engine result parity)."""
+    order = ["ts"] + ([tiebreak_col] if tiebreak_col else [])
+    w = W.partitionBy(user_col).orderBy(*order)
+    # fractional-second epoch (microsecond-exact in double) so gap
+    # comparisons don't depend on second-truncation; NTZ needs the
+    # TIMESTAMP hop first
+    epoch = F.col("ts").cast("timestamp").cast("double")
     gap = epoch - F.lag(epoch).over(w)
     marked = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > float(gap_minutes * 60)), 1).otherwise(0),
     ).withColumn(
         "session_idx",
         F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),

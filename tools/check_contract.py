@@ -1,0 +1,98 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry and its oracle_sql() twin on the same sf dir, compare row count,
+column names, and order-insensitive values. Usage:
+
+    python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from distributed_pagerank_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(norm_cell(r[i]) for i in idx) for r in rows
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark raised {type(ex).__name__}: {str(ex)[:200]}")
+            failures.append(name)
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(srows)} rows ({dt:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [c.lower() for c in rel.columns]
+            drows = rel.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb raised {type(ex).__name__}: {str(ex)[:200]}")
+            failures.append(name)
+            continue
+        ok = True
+        if sorted(c.lower() for c in scols) != sorted(dcols):
+            print(f"FAIL {name}: columns {scols} vs {dcols}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            ok = False
+        else:
+            a = norm_rows([c.lower() for c in scols], srows)
+            b = norm_rows(dcols, drows)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+                print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"ok   {name}: {len(srows)} rows match oracle ({dt:.1f}s)")
+        else:
+            failures.append(name)
+    print("\nFAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
