@@ -1,0 +1,129 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Scaling evidence (local[8] vs local[32] PageRank throughput) lives in
+tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from distributed_pagerank_spark.session import get_spark  # noqa: E402
+from distributed_pagerank_spark.sources.transcripts import (  # noqa: E402
+    derive_edges,
+    synth_transcripts,
+)
+from distributed_pagerank_spark.plans.pagerank import pagerank  # noqa: E402
+from distributed_pagerank_spark.plans.components import (  # noqa: E402
+    connected_components,
+)
+from distributed_pagerank_spark.plans.labelprop import label_propagation  # noqa: E402
+from distributed_pagerank_spark.plans.triangles import triangle_count  # noqa: E402
+from distributed_pagerank_spark.operators.dedup import (  # noqa: E402
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+from distributed_pagerank_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+)
+from distributed_pagerank_spark.functions.text import (  # noqa: E402
+    lang_id,
+    quality_score,
+    token_count,
+)
+from distributed_pagerank_spark.streaming.events import (  # noqa: E402
+    sessionize,
+    windowed_event_counts,
+)
+import __spark_entry__ as contract  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        app_name="dps-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+
+    # graph suite over the derived customer→supplier graph
+    edges = contract._graph_edges(spark, sf_dir).localCheckpoint(eager=True)
+    run("q_pagerank_k10", lambda: pagerank(
+        spark, edges, c=0.85, eps=0.0, max_iter=10).ranks.count())
+    run("q_connected_components", lambda: connected_components(
+        spark, edges, max_iter=10).count())
+    run("q_label_propagation_k3", lambda: label_propagation(
+        spark, edges, rounds=3).count())
+    run("q_triangles", lambda: triangle_count(
+        spark, contract._supplier_pairs(spark, sf_dir)).collect())
+
+    # flagship transcript path (BASELINE input shape), sized to the sf knob
+    n_convs = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}.get(sf, 100_000)
+    def _transcripts():
+        tr = synth_transcripts(spark, n_convs=n_convs, seed=42)
+        res = pagerank(spark, derive_edges(tr), c=0.85, eps=0.0, max_iter=5)
+        res.ranks.count()
+    run("q_pagerank_transcripts_k5", _transcripts)
+
+    # training-data toolkit
+    run("q_dedup_jaccard", lambda: jaccard_pairs(
+        t("documents"), threshold=0.5).count())
+    run("q_dedup_minhash_lsh", lambda: minhash_lsh_pairs(
+        t("documents"), threshold=0.5).count())
+
+    def _ann():
+        emb = t("embeddings")
+        q = emb.limit(32).select(F.col("vec_id").alias("query_id"), "embedding")
+        brute_force_topk(emb, q, k=10, method="pandas").count()
+    run("q_ann_cosine_topk", _ann)
+
+    run("q_text_analysis", lambda: t("documents").select(
+        token_count("text"), lang_id("text"), quality_score("text")
+    ).write.format("noop").mode("overwrite").save())
+
+    run("q_events_windows", lambda: windowed_event_counts(
+        t("events"), window="1 hour").count())
+    run("q_events_sessionize", lambda: sessionize(
+        t("events"), tiebreak_col="event_id").count())
+
+    def _q1():
+        li = t("lineitem")
+        (li.where(F.col("l_shipdate") <= "1998-09-02")
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum("l_quantity"), F.sum("l_extendedprice"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.count("*"))
+           .collect())
+    run("q_tpch_q1", _q1)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

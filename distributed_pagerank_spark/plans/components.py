@@ -25,7 +25,10 @@ from distributed_pagerank_spark.operators.degrees import (
     symmetrize,
     vertices_from_edges,
 )
-from distributed_pagerank_spark.plans.loop import CheckpointManager
+from distributed_pagerank_spark.plans.loop import (
+    CheckpointManager,
+    release_local_checkpoint,
+)
 
 
 def connected_components(
@@ -64,6 +67,7 @@ def connected_components(
         )
 
     iteration = start_iter
+    prev = None
     while iteration < max_iter:
         iteration += 1
         t0 = time.monotonic()
@@ -93,6 +97,9 @@ def connected_components(
         )
         changed = obs.get["changed"] or 0
         labels = new_labels.select("id", "component")
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = new_labels
         converged = changed == 0
         meta = {
             "algo": "connected_components",

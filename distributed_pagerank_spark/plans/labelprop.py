@@ -24,7 +24,10 @@ from distributed_pagerank_spark.operators.degrees import (
     symmetrize,
     vertices_from_edges,
 )
-from distributed_pagerank_spark.plans.loop import CheckpointManager
+from distributed_pagerank_spark.plans.loop import (
+    CheckpointManager,
+    release_local_checkpoint,
+)
 
 
 def label_propagation(
@@ -64,6 +67,7 @@ def label_propagation(
         )
 
     rnd = start_round
+    prev = None
     while rnd < rounds:
         rnd += 1
         t0 = time.monotonic()
@@ -93,6 +97,9 @@ def label_propagation(
         )
         changed = obs.get["changed"] or 0
         labels = new_labels.select("id", "label")
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = new_labels
         converged = changed == 0
         meta = {
             "algo": "label_propagation",

@@ -38,6 +38,27 @@ from pyspark.sql import functions as F
 MANIFEST = "manifest.json"
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the internal RDD behind a ``localCheckpoint``-ed DataFrame.
+
+    ``DataFrame.unpersist()`` is a no-op for local checkpoints (they are
+    cached at the RDD layer, not in the SQL cache manager); without this,
+    an N-iteration loop pins N dead rank vectors in executor memory. The
+    checkpointed plan is a LogicalRDD whose ``rdd`` is the cached one.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        # unwrap projections down to the LogicalRDD leaf
+        while plan.children().size() == 1:
+            plan = plan.children().head()
+        plan.rdd().unpersist(False)
+    except Exception:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -41,7 +41,10 @@ from distributed_pagerank_spark.operators.degrees import (
     vertices_from_edges,
 )
 from distributed_pagerank_spark.operators.salting import hub_ids, salted_sum
-from distributed_pagerank_spark.plans.loop import CheckpointManager
+from distributed_pagerank_spark.plans.loop import (
+    CheckpointManager,
+    release_local_checkpoint,
+)
 
 
 @dataclass
@@ -182,6 +185,7 @@ def pagerank(
     iteration = start_iter
     converged = last_delta <= eps
     delta = last_delta
+    prev_snapshot = None  # previous iteration's cached state, freed below
 
     while not converged and iteration < max_iter:
         iteration += 1
@@ -232,6 +236,11 @@ def pagerank(
         t3 = time.monotonic()
         converged = delta <= eps
         state = snapshot.select("id", "e", "rank")
+        # free the previous iteration's cached blocks — without this the
+        # loop accumulates one dead rank vector per iteration
+        if prev_snapshot is not None:
+            release_local_checkpoint(prev_snapshot)
+        prev_snapshot = snapshot
 
         iter_metrics = {
             "iteration": iteration,
