@@ -46,7 +46,12 @@ def connected_components(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ckpt = CheckpointManager(spark, checkpoint_dir)
-    sym = symmetrize(edges).repartition(num_partitions, "src").persist()
+    sym = (
+        symmetrize(edges)
+        .repartition(num_partitions, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     sym.count()
 
     labels = None
@@ -59,15 +64,15 @@ def connected_components(
                 sym.unpersist()
                 return labels.select("id", "component")
     if labels is None:
-        labels = (
-            vertices_from_edges(edges)
-            .select("id", F.col("id").alias("component"))
-            .repartition(num_partitions, "id")
-            .localCheckpoint(eager=True)
+        labels = vertices_from_edges(edges).select(
+            "id", F.col("id").alias("component")
         )
+    labels = labels.repartition(num_partitions, "id").persist()
+    labels.count()
 
     iteration = start_iter
-    prev = None
+    prev = labels
+    since_truncate = 0
     while iteration < max_iter:
         iteration += 1
         t0 = time.monotonic()
@@ -93,13 +98,22 @@ def connected_components(
                     "changed"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .select("id", "component")
+            .persist()
         )
+        new_labels.count()
         changed = obs.get["changed"] or 0
-        labels = new_labels.select("id", "component")
+        labels = new_labels
         if prev is not None:
             release_local_checkpoint(prev)
         prev = new_labels
+        since_truncate += 1
+        if since_truncate >= 5:
+            truncated = labels.checkpoint(eager=True)  # reliable: see pagerank
+            labels.unpersist()
+            labels = truncated
+            prev = None
+            since_truncate = 0
         converged = changed == 0
         meta = {
             "algo": "connected_components",
@@ -112,7 +126,7 @@ def connected_components(
         if ckpt.enabled() and (
             iteration % checkpoint_interval == 0 or converged
         ):
-            labels = ckpt.save(iteration, labels, meta)
+            ckpt.save(iteration, labels, meta)  # durable resume point only
         if converged:
             break
     sym.unpersist()

@@ -46,7 +46,12 @@ def label_propagation(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ckpt = CheckpointManager(spark, checkpoint_dir)
-    sym = symmetrize(edges).repartition(num_partitions, "src").persist()
+    sym = (
+        symmetrize(edges)
+        .repartition(num_partitions, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     sym.count()
 
     labels = None
@@ -59,15 +64,15 @@ def label_propagation(
                 sym.unpersist()
                 return labels.select("id", "label")
     if labels is None:
-        labels = (
-            vertices_from_edges(edges)
-            .select("id", F.col("id").alias("label"))
-            .repartition(num_partitions, "id")
-            .localCheckpoint(eager=True)
+        labels = vertices_from_edges(edges).select(
+            "id", F.col("id").alias("label")
         )
+    labels = labels.repartition(num_partitions, "id").persist()
+    labels.count()
 
     rnd = start_round
-    prev = None
+    prev = labels
+    since_truncate = 0
     while rnd < rounds:
         rnd += 1
         t0 = time.monotonic()
@@ -93,13 +98,22 @@ def label_propagation(
                 obs,
                 F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            .select("id", "label")
+            .persist()
         )
+        new_labels.count()
         changed = obs.get["changed"] or 0
-        labels = new_labels.select("id", "label")
+        labels = new_labels
         if prev is not None:
             release_local_checkpoint(prev)
         prev = new_labels
+        since_truncate += 1
+        if since_truncate >= 5:
+            truncated = labels.checkpoint(eager=True)  # reliable: see pagerank
+            labels.unpersist()
+            labels = truncated
+            prev = None
+            since_truncate = 0
         converged = changed == 0
         meta = {
             "algo": "label_propagation",
@@ -110,7 +124,7 @@ def label_propagation(
         if metrics_out is not None:
             metrics_out.append({"round": rnd, **meta})
         if ckpt.enabled() and (rnd % checkpoint_interval == 0 or converged):
-            labels = ckpt.save(rnd, labels, meta)
+            ckpt.save(rnd, labels, meta)  # durable resume point only
         if converged:
             break
     sym.unpersist()

@@ -35,12 +35,22 @@ def get_spark(
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # local mode: shuffle/spill through tmpfs instead of virtio disk
+        # (cluster deployments configure executor local dirs themselves)
+        **(
+            {"spark.local.dir": "/dev/shm/spark-local"}
+            if os.path.isdir("/dev/shm")
+            else {}
+        ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.ui.enabled": "false",
+        # reliable df.checkpoint() files (iteration lineage truncation) are
+        # GC'd once unreferenced
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # Iterative plans grow deep; keep the analyzer/optimizer from
         # re-walking stale cached plan fragments.
@@ -52,4 +62,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        spark.sparkContext.setCheckpointDir(f"{base}/dps-rdd-checkpoints")
     return spark
