@@ -25,8 +25,8 @@ import sys
 import time
 
 N_CONVS = int(os.environ.get("SCALING_N_CONVS", "1400000"))
-WARMUP = 2
-MEASURE = 8
+WARMUP = 3
+MEASURE = 7
 
 
 def worker(cores: int) -> None:
