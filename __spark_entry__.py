@@ -51,6 +51,7 @@ from distributed_pagerank_spark.sources.transcripts import (
     synth_transcripts,
 )
 from distributed_pagerank_spark.streaming.events import (
+    epoch_seconds_ntz,
     sessionize,
     windowed_event_counts,
 )
@@ -410,7 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_windows(s, d):
         out = windowed_event_counts(_t(s, d, "events"), window="1 hour")
         return out.select(
-            F.col("window_start").cast("long").alias("window_start_epoch"),
+            epoch_seconds_ntz("window_start").alias("window_start_epoch"),
             "event_type",
             "n",
             F.round("total_value", 4).alias("total_value"),
@@ -422,10 +423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sessionize(ev, gap_minutes=30, tiebreak_col="event_id")
         return out.select(
             "user_id",
-            "session_idx",
-            F.col("session_start").cast("timestamp").cast("long").alias("start_epoch"),
-            F.col("session_end").cast("timestamp").cast("long").alias("end_epoch"),
-            "n_events",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            epoch_seconds_ntz("session_start").alias("start_epoch"),
+            epoch_seconds_ntz("session_end").alias("end_epoch"),
+            F.col("n_events").cast("long").alias("n_events"),
         )
     q["events_sessionize"] = _q_sessions
 
@@ -496,12 +497,15 @@ FROM embeddings GROUP BY label""",
         "multimodal_meta": """SELECT doc_id AS media_id, 'image' AS kind,
        octet_length(encode(text)) AS n_bytes FROM documents""",
         "events_windowed_counts": """SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start_epoch,
-       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+       event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2""",
+        # NB: every output column is cast to BIGINT explicitly — DuckDB's
+        # windowed sum() yields HUGEINT, which hash-mismatches Spark's
+        # BIGINT even when values are equal.
         "events_sessionize": """WITH m AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS ns
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -511,9 +515,9 @@ s AS (
                        ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM m
 )
-SELECT user_id, session_idx,
+SELECT user_id, session_idx::BIGINT AS session_idx,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
-       count(*) AS n_events
+       count(*)::BIGINT AS n_events
 FROM s GROUP BY user_id, session_idx""",
     }

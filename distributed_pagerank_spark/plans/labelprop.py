@@ -26,7 +26,9 @@ from distributed_pagerank_spark.operators.degrees import (
 )
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
+    obs_name,
     release_local_checkpoint,
+    safe_truncate,
 )
 
 
@@ -54,15 +56,27 @@ def label_propagation(
     )
     sym.count()
 
+    # resume safety: same graph-fingerprint guard as PageRank/CC.
+    fingerprint = None
+    if ckpt.enabled():
+        agg = sym.agg(
+            F.count("*").alias("m"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        fingerprint = f"lpa|m={agg['m']}|h={agg['h']}"
+
     labels = None
     start_round = 0
     if resume and ckpt.enabled():
         latest = ckpt.latest()
         if latest is not None:
-            start_round, labels, manifest = latest
-            if manifest.get("converged") or start_round >= rounds:
-                sym.unpersist()
-                return labels.select("id", "label")
+            it, st, manifest = latest
+            if manifest.get("fingerprint") == fingerprint:
+                start_round, labels = it, st
+                if manifest.get("converged") or start_round >= rounds:
+                    sym.unpersist()
+                    return labels.select("id", "label")
+            # stale dir from a different graph: start fresh
     if labels is None:
         labels = vertices_from_edges(edges).select(
             "id", F.col("id").alias("label")
@@ -86,7 +100,7 @@ def label_propagation(
         top = freq.groupBy("dst").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
         ).select("dst", (-F.col("m.neg")).alias("new_label"))
-        obs = Observation(f"lpa_changed_{rnd}")
+        obs = Observation(obs_name(f"lpa_changed_{rnd}"))
         new_labels = (
             labels.join(top, labels["id"] == top["dst"], "left")
             .select(
@@ -109,7 +123,7 @@ def label_propagation(
         prev = new_labels
         since_truncate += 1
         if since_truncate >= 5:
-            truncated = labels.checkpoint(eager=True)  # reliable: see pagerank
+            truncated = safe_truncate(spark, labels)  # see pagerank
             labels.unpersist()
             labels = truncated
             prev = None
@@ -119,6 +133,7 @@ def label_propagation(
             "algo": "label_propagation",
             "changed": changed,
             "converged": converged,
+            "fingerprint": fingerprint,
             "iter_s": round(time.monotonic() - t0, 4),
         }
         if metrics_out is not None:

@@ -30,12 +30,60 @@ or ``s3a:`` checkpoint locations — required on a real cluster.
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "manifest.json"
+
+_OBS_COUNTER = 0
+
+
+def obs_name(prefix: str) -> str:
+    """Session-unique Observation name.
+
+    ``CollectMetrics`` names must be unique within a plan tree; result
+    DataFrames keep their observe nodes (post-truncation iterations), so
+    two algorithm runs in one session would collide on plain
+    ``{prefix}_{iteration}`` names the moment their results are joined
+    ([DUPLICATED_METRICS_NAME]). A process-wide counter keeps names unique
+    across calls while staying deterministic for tests.
+    """
+    global _OBS_COUNTER
+    _OBS_COUNTER += 1
+    return f"{prefix}_r{_OBS_COUNTER}"
+
+
+def ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Set a default RDD checkpoint dir if the session has none.
+
+    ``Dataset.checkpoint()`` throws unless ``SparkContext.setCheckpointDir``
+    was called. The engine's ``get_spark`` sets one, but the public plan
+    functions accept ANY SparkSession (e.g. the correctness driver's), so
+    library code must be self-healing rather than assume session-factory
+    side effects. Idempotent; prefers tmpfs locally.
+    """
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        sc.setCheckpointDir(f"{base}/dps-rdd-checkpoints")
+
+
+def safe_truncate(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Lineage-truncating snapshot that works under any SparkSession.
+
+    Reliable ``checkpoint`` (independent files — no dependence on the cache
+    the caller is about to drop); falls back to ``localCheckpoint`` when a
+    checkpoint dir cannot be established (e.g. read-only filesystems).
+    """
+    try:
+        ensure_checkpoint_dir(spark)
+        return df.checkpoint(eager=True)
+    except Exception:
+        return df.localCheckpoint(eager=True)
 
 
 def release_local_checkpoint(df: DataFrame) -> None:

@@ -43,7 +43,9 @@ from distributed_pagerank_spark.operators.degrees import (
 from distributed_pagerank_spark.operators.salting import hub_ids, salted_sum
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
+    obs_name,
     release_local_checkpoint,
+    safe_truncate,
 )
 
 
@@ -124,8 +126,17 @@ def pagerank(
             F.count("*").alias("m"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
         ).first()
+        # the personalization vector is part of the job identity: resuming
+        # with a different e must NOT continue from the old checkpoint
+        # (the old e is baked into the checkpointed ranks).
+        e_h = "uniform"
+        if e is not None:
+            eagg = e.agg(
+                F.expr("bit_xor(xxhash64(id, round(e, 12)))").alias("eh")
+            ).first()
+            e_h = f"{eagg['eh']}|norm={normalize_e}"
         fingerprint = f"pagerank|c={c}|eps={eps}|dup={dup_policy}|" \
-                      f"dangling={dangling}|m={agg['m']}|h={agg['h']}"
+                      f"dangling={dangling}|m={agg['m']}|h={agg['h']}|e={e_h}"
 
     # --- E vector ----------------------------------------------------
     if e is not None:
@@ -141,6 +152,21 @@ def pagerank(
             raise ValueError("empty edge table: no vertices to rank")
         verts = verts.withColumn("e", F.lit(1.0 / n0))
 
+    # --- dangling flag (for redistribute mode) -----------------------
+    # carried as a state column so the per-iteration dangling mass can be
+    # computed inside the iteration's single materializing job (via the
+    # same Observation as the delta) — no extra driver-side job per
+    # iteration.
+    state_cols = ["id", "e", "rank"]
+    if dangling == "redistribute":
+        srcs = edges_w.select(F.col("src").alias("id")).distinct()
+        verts = (
+            verts.join(srcs.withColumn("__out", F.lit(True)), "id", "left")
+            .withColumn("dang", F.col("__out").isNull())
+            .drop("__out")
+        )
+        state_cols = state_cols + ["dang"]
+
     # --- initial state / resume --------------------------------------
     start_iter, state, last_delta = 0, None, float("inf")
     if resume and ckpt.enabled():
@@ -151,16 +177,25 @@ def pagerank(
                 start_iter, state = it, st
                 last_delta = manifest.get("delta", float("inf"))
                 if manifest.get("converged"):
-                    return PageRankResult(
-                        st.select("id", "rank"), it, last_delta, True
-                    )
+                    # same final normalization as a fresh run (reference
+                    # pagerank.go:38-45) — checkpoints store PRE-normalized
+                    # ranks, so resume-after-converged must not skip it or
+                    # a second run returns differently-scaled ranks.
+                    ranks = st.select("id", "rank")
+                    if dangling == "reference":
+                        total = ranks.agg(F.sum("rank")).first()[0] or 1.0
+                        ranks = ranks.withColumn(
+                            "rank", F.col("rank") / F.lit(float(total))
+                        )
+                    edges_w.unpersist()
+                    return PageRankResult(ranks, it, last_delta, True)
             # mismatched fingerprint: stale dir from another job — start fresh
     if state is None:
         n = verts.count()
         if n == 0:
             raise ValueError("empty edge table: no vertices to rank")
         state = verts.select(
-            "id", "e", F.lit(1.0 / n).alias("rank")
+            "id", "e", F.lit(1.0 / n).alias("rank"), *state_cols[3:]
         )
     # co-partition the state with the edge table's layout and pin it;
     # the iteration chain keeps this partitioning (join outputs inherit
@@ -168,15 +203,14 @@ def pagerank(
     state = state.repartition(num_partitions, "id").persist()
     n = state.count()
 
-    # --- dangling set (for redistribute mode) ------------------------
-    dangling_ids = None
+    # dangling mass of the CURRENT state; seeded once here, then updated
+    # for free each iteration by the Observation on the materializing job.
+    dang_mass = 0.0
     if dangling == "redistribute":
-        dangling_ids = (
-            verts.select("id")
-            .join(edges_w.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
-            .persist()
+        dang_mass = (
+            state.agg(F.sum(F.when(F.col("dang"), F.col("rank")))).first()[0]
+            or 0.0
         )
-        dangling_ids.count()
 
     hubs = None
     if skew_salt:
@@ -201,6 +235,7 @@ def pagerank(
     # Catalyst-analysis cost ceiling.
     prev_snapshot = state
     since_truncate = 0
+    last_truncated = None  # strong ref across truncations (GC-race guard)
 
     while not converged and iteration < max_iter:
         iteration += 1
@@ -220,13 +255,7 @@ def pagerank(
 
         base = F.coalesce(F.col("sum"), F.lit(0.0))
         if dangling == "redistribute":
-            dm = (
-                state.join(dangling_ids, "id", "left_semi")
-                .agg(F.sum("rank"))
-                .first()[0]
-                or 0.0
-            )
-            base = base + F.lit(float(dm) / n)
+            base = base + F.lit(float(dang_mass) / n)
 
         new_state = (
             state.join(sums, state["id"] == sums["dst"], "left")
@@ -235,24 +264,32 @@ def pagerank(
                 "e",
                 F.col("rank").alias("rank_old"),
                 (F.lit(c) * base + F.lit(1.0 - c) * F.col("e")).alias("rank"),
+                *state_cols[3:],
             )
         )
 
         t1 = time.monotonic()
         # ONE job per iteration: persist + count materializes the DAG while
-        # an Observation computes the L1 delta as a side-effect — no second
+        # an Observation computes the L1 delta (and, in redistribute mode,
+        # the next iteration's dangling mass) as a side-effect — no second
         # pass over the rank vector.
-        obs = Observation(f"pagerank_delta_{iteration}")
-        snapshot = (
-            new_state.observe(
-                obs, F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta")
+        obs = Observation(obs_name(f"pagerank_delta_{iteration}"))
+        obs_aggs = [F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta")]
+        if dangling == "redistribute":
+            obs_aggs.append(
+                F.sum(F.when(F.col("dang"), F.col("rank"))).alias("dang_mass")
             )
-            .select("id", "e", "rank")
+        snapshot = (
+            new_state.observe(obs, *obs_aggs)
+            .select(*state_cols)
             .persist()
         )
         snapshot.count()
         t2 = time.monotonic()
-        delta = obs.get["delta"] or 0.0
+        observed = obs.get
+        delta = observed["delta"] or 0.0
+        if dangling == "redistribute":
+            dang_mass = observed["dang_mass"] or 0.0
         t3 = time.monotonic()
         converged = delta <= eps
         state = snapshot
@@ -288,10 +325,16 @@ def pagerank(
             # Reliable checkpoint (independent files, no dependence on the
             # cache we are about to drop — localCheckpoint here would race
             # with unpersist); rare, so the lost partitioning costs one
-            # state exchange on the following iteration only.
-            truncated = state.checkpoint(eager=True)
+            # state exchange on the following iteration only. Self-healing
+            # under foreign sessions (sets a checkpoint dir if missing).
+            truncated = safe_truncate(spark, state)
             state.unpersist()
             state = truncated
+            # hold the previous truncated DF until THIS truncation has
+            # materialized: with cleanCheckpoints=true its files are GC'd
+            # once unreferenced, and the new snapshot's plan may recompute
+            # through them before eager materialization completes.
+            last_truncated = truncated
             prev_snapshot = None
             since_truncate = 0
         iter_metrics["total_s"] = round(time.monotonic() - t0, 4)
@@ -306,6 +349,4 @@ def pagerank(
     edges_w.unpersist()
     if hubs is not None:
         hubs.unpersist()
-    if dangling_ids is not None:
-        dangling_ids.unpersist()
     return PageRankResult(ranks, iteration, delta, converged, metrics)

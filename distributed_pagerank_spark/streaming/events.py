@@ -9,9 +9,31 @@ in both batch and streaming.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+_EPOCH_NTZ = "1970-01-01 00:00:00"
+
+
+def epoch_micros_ntz(col: Column | str) -> Column:
+    """Microseconds since epoch of a timestamp, independent of the session
+    timezone: naive (NTZ) values are taken as-written — the same convention
+    DuckDB's ``epoch()`` uses — instead of being interpreted in the session
+    zone (which a plain ``cast('timestamp').cast('long')`` does, shifting
+    results and even session boundaries across DST under non-UTC drivers).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit(_EPOCH_NTZ).cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
+def epoch_seconds_ntz(col: Column | str) -> Column:
+    """Whole seconds since epoch (floor), NTZ-safe — see epoch_micros_ntz."""
+    return F.floor(epoch_micros_ntz(col) / F.lit(1_000_000)).cast("long")
 
 
 def windowed_event_counts(
@@ -55,14 +77,16 @@ def sessionize(
     (required for cross-engine result parity)."""
     order = ["ts"] + ([tiebreak_col] if tiebreak_col else [])
     w = W.partitionBy(user_col).orderBy(*order)
-    # fractional-second epoch (microsecond-exact in double) so gap
-    # comparisons don't depend on second-truncation; NTZ needs the
-    # TIMESTAMP hop first
-    epoch = F.col("ts").cast("timestamp").cast("double")
+    # microsecond-exact integer epoch, independent of session timezone
+    # (a timestamp-LTZ hop would shift under non-UTC sessions and could
+    # even change gaps across DST transitions)
+    epoch = epoch_micros_ntz("ts")
     gap = epoch - F.lag(epoch).over(w)
     marked = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > float(gap_minutes * 60)), 1).otherwise(0),
+        F.when(
+            gap.isNull() | (gap > F.lit(int(gap_minutes) * 60 * 1_000_000)), 1
+        ).otherwise(0),
     ).withColumn(
         "session_idx",
         F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
