@@ -29,10 +29,12 @@ from distributed_pagerank_spark.functions.text import (
 from distributed_pagerank_spark.operators.degrees import out_degrees
 from distributed_pagerank_spark.operators.dedup import (
     exact_duplicates,
+    hash60_md5_sql,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from distributed_pagerank_spark.operators.similarity import _hyperplanes
 from distributed_pagerank_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
@@ -43,6 +45,8 @@ from distributed_pagerank_spark.operators.similarity import (
     lsh_topk,
 )
 from distributed_pagerank_spark.plans.components import connected_components
+from distributed_pagerank_spark.sources.edgelist import read_edge_list_http
+from distributed_pagerank_spark.sources.generator import random_e_vector
 from distributed_pagerank_spark.plans.labelprop import label_propagation
 from distributed_pagerank_spark.plans.pagerank import pagerank
 from distributed_pagerank_spark.plans.triangles import triangle_count
@@ -60,6 +64,9 @@ SUPP_OFFSET = 100_000  # disjoint vertex-id spaces: custkey vs suppkey
 PAGERANK_ITERS = 5
 CC_ITERS = 8
 LPA_ROUNDS = 3
+EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
+NEAR_DUP_THRESHOLD = 0.4  # non-vacuous at sf0.01's cosine distribution
+JACCARD_DF_CAP = 5  # hot-shingle DF cap; bites at sf0.01 (max shingle df=7)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -112,13 +119,28 @@ def _supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql(k: int = PAGERANK_ITERS, c: float = 0.85) -> str:
+def _pagerank_sql(
+    k: int = PAGERANK_ITERS, c: float = 0.85, e_seed: int | None = None
+) -> str:
+    """Unrolled k-iteration PageRank twin. ``e_seed`` switches the E term
+    from uniform 1/|V| to the seeded md5-hash personalization vector
+    (normalized to sum 1), twin of random_e_vector(hash_fn='md5')."""
+    if e_seed is None:
+        e_cte = ""
+        e_term = "1.0 / (SELECT n FROM nn)"
+    else:
+        raw = hash60_md5_sql("v0.id::VARCHAR", e_seed)
+        e_cte = f""",
+eraw AS (SELECT v0.id, (({raw}) % 1000000 + 1) / 1000000.0 AS er
+         FROM verts v0),
+ev AS (SELECT id, er / (SELECT sum(er) FROM eraw) AS e FROM eraw)"""
+        e_term = "(SELECT e FROM ev WHERE ev.id = v.id)"
     iters = []
     prev = "r0"
     for i in range(1, k + 1):
         iters.append(f"""r{i} AS (
   SELECT v.id,
-         {c} * coalesce(s.s, 0) + {1.0 - c} / (SELECT n FROM nn) AS rank
+         {c} * coalesce(s.s, 0) + {1.0 - c} * {e_term} AS rank
   FROM verts v LEFT JOIN (
     SELECT e.dst AS id, sum(r.rank / d.out_degree) AS s
     FROM edges e JOIN {prev} r ON e.src = r.id
@@ -130,7 +152,7 @@ def _pagerank_sql(k: int = PAGERANK_ITERS, c: float = 0.85) -> str:
     return f"""WITH {_EDGES_CTE},
 {_VERTS_CTE},
 deg AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src),
-nn AS (SELECT count(*) AS n FROM verts),
+nn AS (SELECT count(*) AS n FROM verts){e_cte},
 r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
 {",".join(iters)}
 SELECT id, round(rank / (SELECT sum(rank) FROM {prev}), 6) AS rank FROM {prev}"""
@@ -243,6 +265,179 @@ sh AS (
 )"""
 
 
+def _jaccard_sql(threshold: float, df_cap: int | None = None) -> str:
+    """Exact shingle-Jaccard twin; with ``df_cap`` the hot-shingle DF cap
+    is applied to the shingle universe exactly like the Spark operator."""
+    src = "sh"
+    cap_cte = ""
+    if df_cap is not None:
+        cap_cte = f""",
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {df_cap}),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle))"""
+        src = "sh2"
+    return f"""WITH {_SHINGLES_CTE}{cap_cte},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common JOIN sizes sa ON common.id_a = sa.doc_id
+            JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= {threshold}"""
+
+
+def _minhash_lsh_sql(
+    threshold: float = 0.5, num_hashes: int = 64, bands: int = 16, seed: int = 42
+) -> str:
+    """Exact twin of minhash_lsh_pairs(hash_fn='md5'): same 60-bit hash,
+    same band buckets (md5 over '|'-joined mins), same estimator."""
+    r = num_hashes // bands
+    hcols = ",\n         ".join(
+        f"min({hash60_md5_sql('shingle', seed + i)}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{bi * r + j}" for j in range(r))
+        + ")) AS bucket FROM mh"
+        for bi in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""WITH {_SHINGLES_CTE},
+mh AS (SELECT doc_id, {hcols} FROM sh GROUP BY doc_id),
+bk AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN bk b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+est AS (SELECT id_a, id_b, ({eq}) / {num_hashes}.0 AS est_jaccard
+        FROM cand JOIN mh a ON cand.id_a = a.doc_id
+                  JOIN mh b ON cand.id_b = b.doc_id)
+SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold}"""
+
+
+def _simhash_sql(max_hamming: int = 3, bits: int = 60, seed: int = 42) -> str:
+    """Exact twin of simhash_pairs(hash_fn='md5', bits=60). The chunk
+    banding is complete (pigeonhole with max_hamming+1 chunks), so the
+    operator's output equals the brute-force Hamming ball — which is what
+    this twin computes."""
+    bsums = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return rf"""WITH tk AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {hash60_md5_sql('tok', seed)} AS hv FROM tk),
+bs AS (SELECT doc_id, {bsums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, ({pack})::BIGINT AS simhash FROM bs)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+_WINNOW_POW = [pow(257, 7 - j, 2147483647) for j in range(8)]
+
+
+def _winnow_sql() -> str:
+    """Exact twin of winnow_fingerprints (k=8, w=16, Mersenne-31 poly hash
+    over code points of lower(text)): count of distinct window-min hashes."""
+    term = " + ".join(f"c[i+{j}] * {_WINNOW_POW[j]}" for j in range(8))
+    return f"""WITH cp AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN []::BIGINT[]
+              ELSE [ord(substr(lower(text), i, 1))::BIGINT
+                    FOR i IN generate_series(1, length(lower(text)))]
+         END AS c
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN len(c) >= 8 THEN
+            [({term}) % 2147483647 FOR i IN generate_series(1, len(c) - 7)]
+         ELSE []::BIGINT[] END AS h
+  FROM cp
+),
+mins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN []::BIGINT[]
+              WHEN len(h) <= 16 THEN [list_min(h)]
+              ELSE [list_min(h[i:i+15]) FOR i IN generate_series(1, len(h) - 15)]
+         END AS m
+  FROM hs
+)
+SELECT doc_id, len(list_distinct(m))::INT AS n_fingerprints FROM mins"""
+
+
+def _lsh_bucket_sql(vec_expr: str, planes) -> str:
+    """Bucket id as an explicit left-to-right double arithmetic chain —
+    the exact FP association the Spark unrolled expression uses."""
+    terms = []
+    for p_i, plane in enumerate(planes):
+        dot = "0.0 + " + " + ".join(
+            f"{vec_expr}[{d + 1}]::DOUBLE * {float(w)!r}"
+            for d, w in enumerate(plane)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p_i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _ann_lsh_sql(k: int = 10, n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = _lsh_bucket_sql("embedding", planes)
+    return f"""WITH c AS (
+  SELECT vec_id, embedding, {b} AS bucket FROM embeddings
+),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv, {b} AS qbucket
+  FROM embeddings WHERE vec_id < 10
+),
+probes AS (
+  SELECT query_id, qv,
+         unnest([qbucket] || [xor(qbucket, (1::BIGINT << i))
+                              FOR i IN generate_series(0, {n_planes - 1})]) AS bucket
+  FROM q0
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         list_cosine_similarity(p.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+  FROM probes p JOIN c ON p.bucket = c.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rk FROM ranked WHERE rk <= {k}"""
+
+
+def _near_dups_sql(
+    threshold: float, n_planes: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = _lsh_bucket_sql("embedding", planes)
+    return f"""WITH e AS (
+  SELECT vec_id, embedding, {b} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= {threshold}"""
+
+
 # ----------------------------------------------------------- queries()
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the customer→supplier graph at sf0.001."""
@@ -279,6 +474,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = pagerank(s, derive_edges(t), c=0.85, eps=1e-6, max_iter=12)
         return res.ranks.select("id", F.round("rank", 9).alias("rank"))
     q["pagerank_transcripts"] = _q_pagerank_transcripts
+
+    def _q_pagerank_seeded_e(s, d):
+        # reference-style random personalization (graph.go:150-164),
+        # seeded + md5-hash mode so the oracle can reproduce it exactly
+        edges = _graph_edges(s, d)
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        e = random_e_vector(s, verts, seed=7, hash_fn="md5")
+        res = pagerank(s, edges, c=0.85, eps=0.0, max_iter=PAGERANK_ITERS, e=e)
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    q["pagerank_seeded_e"] = _q_pagerank_seeded_e
+
+    def _q_edgelist_http(s, d):
+        # reference LoadGraphResource parity (graph.go:19-33): serve the
+        # fixture over a real localhost HTTP server, fetch, parse.
+        import http.server
+        import socketserver
+        import threading
+
+        class H(http.server.SimpleHTTPRequestHandler):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, directory="/root/repo/tests/fixtures", **kw)
+
+            def log_message(self, *a):
+                pass
+
+        with socketserver.TCPServer(("127.0.0.1", 0), H) as httpd:
+            port = httpd.server_address[1]
+            t = threading.Thread(target=httpd.serve_forever, daemon=True)
+            t.start()
+            try:
+                edges = read_edge_list_http(
+                    s, f"http://127.0.0.1:{port}/web_edges.txt"
+                )
+                edges.count()  # materialize before the server goes away
+            finally:
+                httpd.shutdown()
+        return edges.orderBy("src", "dst")
+    q["edgelist_http"] = _q_edgelist_http
 
     q["connected_components"] = lambda s, d: connected_components(
         s, _graph_edges(s, d), max_iter=CC_ITERS
@@ -335,7 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["doc_winnow"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", F.size(winnow_fingerprints("text")).alias("n_fingerprints")
-    )  # rows-only: procedural sketch
+    )
 
     # --- dedup ---------------------------------------------------------
     q["dedup_exact_groups"] = lambda s, d: exact_duplicates(
@@ -346,13 +583,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
+    q["dedup_jaccard_capped"] = lambda s, d: jaccard_pairs(
+        _t(s, d, "documents"), threshold=0.5, max_shingle_df=JACCARD_DF_CAP
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    # hash_fn='md5' = the cross-engine 60-bit hash → exact DuckDB twins
+    # for the approximate dedup tiers (xxhash64 stays the fast default).
     q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
-        _t(s, d, "documents"), threshold=0.5
+        _t(s, d, "documents"), threshold=0.5, hash_fn="md5"
     ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
     q["dedup_simhash"] = lambda s, d: simhash_pairs(
-        _t(s, d, "documents"), max_hamming=3
-    ).select("id_a", "id_b", "hamming")
+        _t(s, d, "documents"), max_hamming=3, bits=60, hash_fn="md5"
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
     # --- similarity search ---------------------------------------------
     def _q_ann(s, d):
@@ -369,18 +612,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = _q_ann
 
     def _q_ann_lsh(s, d):
-        emb = _t(s, d, "embeddings")
+        # cast to double FIRST so dot products are double arithmetic —
+        # bit-identical to the oracle's e[i]::DOUBLE * w chains.
+        emb = _t(s, d, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
         queries_df = emb.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return lsh_topk(emb, queries_df, k=10, n_planes=4).select(
+        return lsh_topk(emb, queries_df, k=10, n_planes=4, dim=EMB_DIM).select(
             "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
         )
     q["ann_lsh_topk"] = _q_ann_lsh
 
-    q["embedding_near_dups"] = lambda s, d: embedding_near_duplicates(
-        _t(s, d, "embeddings"), threshold=0.8, n_planes=4
-    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    def _q_near_dups(s, d):
+        emb = _t(s, d, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        return embedding_near_duplicates(
+            emb, threshold=NEAR_DUP_THRESHOLD, n_planes=4, dim=EMB_DIM
+        ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    q["embedding_near_dups"] = _q_near_dups
 
     def _q_embedding_stats(s, d):
         emb = _t(s, d, "embeddings")
@@ -440,6 +694,22 @@ def oracle_sql() -> dict[str, str]:
 SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src""",
         "pagerank_k5": _pagerank_sql(),
         "pagerank_k5_salted": _pagerank_sql(),
+        "pagerank_seeded_e": _pagerank_sql(e_seed=7),
+        "edgelist_http": r"""WITH raw AS (
+  SELECT unnest(string_split(content, chr(10))) AS l
+  FROM read_text('/root/repo/tests/fixtures/web_edges.txt')
+),
+c AS (
+  SELECT trim(l) AS line FROM raw
+  WHERE trim(l) <> '' AND NOT starts_with(trim(l), '#')
+        AND NOT starts_with(trim(l), '//')
+),
+n AS (SELECT regexp_replace(line, '^(\S+)\s+', '\1,') AS line FROM c),
+p AS (SELECT string_split(line, ',') AS p FROM n)
+SELECT try_cast(p[1] AS BIGINT) AS src, try_cast(p[2] AS BIGINT) AS dst
+FROM p
+WHERE try_cast(p[1] AS BIGINT) IS NOT NULL
+  AND try_cast(p[2] AS BIGINT) IS NOT NULL""",
         "connected_components": _cc_sql(),
         "label_propagation_k3": _lpa_sql(),
         "triangle_count": _TRIANGLES_SQL,
@@ -463,18 +733,15 @@ GROUP BY l_returnflag, l_linestatus""",
         "dedup_exact_groups": f"""SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM (SELECT doc_id, {_FINGERPRINT_SQL_EXPR} AS fp FROM documents)
 GROUP BY fp HAVING count(*) > 1""",
-        "dedup_jaccard_pairs": f"""WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b,
-       round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
-FROM common JOIN sizes sa ON common.id_a = sa.doc_id
-            JOIN sizes sb ON common.id_b = sb.doc_id
-WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.5""",
+        "dedup_jaccard_pairs": _jaccard_sql(0.5),
+        "dedup_jaccard_capped": _jaccard_sql(0.5, df_cap=JACCARD_DF_CAP),
+        "dedup_minhash_lsh": _minhash_lsh_sql(threshold=0.5),
+        "dedup_simhash": _simhash_sql(max_hamming=3),
+        "doc_winnow": _winnow_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(k=10, n_planes=4, dim=EMB_DIM),
+        "embedding_near_dups": _near_dups_sql(
+            NEAR_DUP_THRESHOLD, n_planes=4, dim=EMB_DIM
+        ),
         "ann_cosine_topk": """WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
 ),

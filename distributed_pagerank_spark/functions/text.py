@@ -123,28 +123,31 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def winnow_fingerprints(texts: pd.Series) -> pd.Series:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
-    rolling polynomial hash over character k-grams (k=8), keep the min
-    hash of every window of w=16 — a position-robust near-dup sketch.
+    rolling polynomial hash over UNICODE-CODE-POINT k-grams (k=8), keep
+    the min hash of every window of w=16 — a position-robust near-dup
+    sketch. Code points (not utf-8 bytes) are the hash alphabet so the
+    exact computation is expressible in ANSI SQL (``ord(substr(...))``)
+    for the oracle twin.
 
     Arrow-vectorized (one Python call per batch); the per-string loop is
-    C-speed numpy. Rows-only driver check (no SQL twin — inherently
-    procedural)."""
+    C-speed numpy."""
     import numpy as np
 
-    # MOD is a Mersenne prime < 2^31 so h*BASE+byte stays < 2^40 — safe in
-    # uint64 without Python-int fallback.
+    # MOD is a Mersenne prime < 2^31; cp < 2^21, so h*BASE+cp < 2^40 —
+    # safe in uint64 without Python-int fallback.
     K, W, MOD, BASE = 8, 16, (1 << 31) - 1, 257
     out = []
     for t in texts:
         if t is None or len(t) < K:
             out.append([])
             continue
-        b = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+        # utf-32 little-endian = one uint32 per code point
+        b = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
         m = len(b) - K + 1
         if m <= 0:
             out.append([])
             continue
-        # rolling hash of all k-grams, vectorized: sum b[i+j]*BASE^(K-1-j)
+        # rolling hash of all k-grams, vectorized: sum cp[i+j]*BASE^(K-1-j)
         h = np.zeros(m, dtype=np.uint64)
         for j in range(K):
             h = (h * BASE + b[j : j + m]) % MOD

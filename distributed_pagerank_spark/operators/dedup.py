@@ -15,19 +15,43 @@ Four tiers, all DataFrame-native:
   64 conditional aggregates in one pass; near-dups = signatures within a
   Hamming ball, candidates via 16-bit chunk banding.
 
-All hashing is ``xxhash64`` with explicit seeds — deterministic across
-runs, partitionings, and cluster sizes.
+All hashing is deterministic across runs, partitionings, and cluster
+sizes. Two hash families, selected by ``hash_fn``:
+
+- ``"xxhash64"`` (default) — JVM-side, fastest; the production path.
+- ``"md5"`` — a 60-bit hash from the md5 hex prefix
+  (``conv(substr(md5(x||0x1f||seed),1,15),16,10)``), chosen because the
+  identical value is computable in ANSI SQL on other engines
+  (DuckDB: ``('0x'||substr(md5(...),1,15))::BIGINT``) — this makes the
+  approximate-dedup operators exactly oracle-checkable. ~2-3× slower
+  than xxhash64; use for verification tiers, not the 100 TB hot path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from distributed_pagerank_spark.functions.text import (
     normalized_fingerprint,
     word_shingles,
 )
+
+_SEP = "\x1f"  # unit separator: cannot appear in \s+-split tokens
+
+
+def hash60_md5(col: Column | str, seed: int) -> Column:
+    """Deterministic 60-bit hash with an exact cross-engine SQL twin."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(_SEP, c, F.lit(str(seed)))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def hash60_md5_sql(expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`hash60_md5` (same bits, same type)."""
+    return f"('0x' || substr(md5({expr} || chr(31) || '{seed}'), 1, 15))::BIGINT"
 
 
 # ---------------------------------------------------------------- exact
@@ -71,6 +95,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs → ``(id_a, id_b, jaccard)``
     with ``id_a < id_b`` and ``jaccard >= threshold``.
@@ -78,8 +103,30 @@ def jaccard_pairs(
     Inverted-index self-join: only docs sharing ≥1 shingle are compared.
     Common-shingle count is a two-phase hash agg; sizes join in after, so
     the wide join carries only (id, id) pairs.
+
+    ``max_shingle_df`` caps the document frequency of shingles admitted to
+    the index: a shingle shared by ``k`` docs creates ``k²`` candidate rows
+    on one join key, so one stopword n-gram appearing in 10^5 docs would
+    emit 10^10 rows. With the cap, hot shingles are dropped from the
+    UNIVERSE (both intersection and sizes), i.e. the result is the exact
+    Jaccard over the capped shingle set — the standard scale guard. The
+    number of dropped shingles is printed to the driver log. Uncapped
+    (None) is the small-scale oracle tier only.
     """
-    idx = shingle_index(df, id_col, text_col, n).persist()
+    idx = shingle_index(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        dfreq = idx.groupBy("shingle").agg(F.count("*").alias("df"))
+        hot = dfreq.where(F.col("df") > max_shingle_df)
+        n_hot = hot.count()
+        if n_hot:
+            print(
+                f"jaccard_pairs: dropping {n_hot} shingles with "
+                f"document frequency > {max_shingle_df}"
+            )
+        idx = idx.join(
+            F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+        )
+    idx = idx.persist()
     sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = idx.withColumnRenamed("id", "id_a")
     b = idx.withColumnRenamed("id", "id_b")
@@ -112,14 +159,23 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """→ ``(id, sig array<long>)``: k minhashes in one aggregation pass
     (k min() columns over the shingle index — no row explosion)."""
     idx = shingle_index(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        mins = [
+            F.min(hash60_md5("shingle", seed + i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        mins = [
+            F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sig = idx.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -133,6 +189,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate near-dup pairs → ``(id_a, id_b, est_jaccard)``.
 
@@ -143,14 +200,25 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, id_col, text_col, n, seed).persist()
+    sig = minhash_signatures(
+        df, num_hashes, id_col, text_col, n, seed, hash_fn
+    ).persist()
+    if hash_fn == "md5":
+        # string bucket with an exact SQL twin: md5 over '|'-joined mins
+        def _bucket(bi):
+            return F.md5(
+                F.concat_ws(
+                    "|", *[F.get("sig", bi * r + j).cast("string") for j in range(r)]
+                )
+            )
+    else:
+        def _bucket(bi):
+            return F.xxhash64(*[F.get("sig", bi * r + j) for j in range(r)])
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.xxhash64(*[F.get("sig", bi * r + j) for j in range(r)]).alias(
-                    "bucket"
-                ),
+                _bucket(bi).alias("bucket"),
             )
             for bi in range(bands)
         ]
@@ -194,13 +262,27 @@ def simhash_signatures(
     text_col: str = "text",
     bits: int = 64,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """→ ``(id, simhash long)``: per-bit signed sums of whitespace-token
-    hashes, sign → bit. One explode + one aggregation."""
+    hashes, sign → bit. One explode + one aggregation.
+
+    ``hash_fn='md5'`` uses the 60-bit cross-engine hash (and therefore
+    ``bits`` must be ≤ 60 — pass ``bits=60``) so the signature has an
+    exact ANSI-SQL twin.
+    """
+    if hash_fn == "md5" and bits > 60:
+        raise ValueError("md5 hash_fn provides 60 bits; pass bits<=60")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok", F.lit(seed)))
+    )
+    if hash_fn == "md5":
+        toks = toks.withColumn("h", hash60_md5("tok", seed))
+    elif hash_fn == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok", F.lit(seed)))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sums = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -231,12 +313,27 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bits: int = 64,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
-    Candidates via 16-bit chunk banding (pigeonhole: distance ≤3 ⇒ some
-    chunk of 4 is identical)."""
-    sig = simhash_signatures(df, id_col, text_col, seed=seed).persist()
+
+    Candidates via chunk banding with ``max_hamming + 1`` chunks, so the
+    pigeonhole guarantee (distance ≤ h ⇒ some chunk identical) holds for
+    EVERY ``max_hamming`` — the result is therefore exact: all pairs
+    within the Hamming ball, none missed.
+    """
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError("max_hamming + 1 chunks need max_hamming < bits")
+    sig = simhash_signatures(
+        df, id_col, text_col, bits=bits, seed=seed, hash_fn=hash_fn
+    ).persist()
+    width = -(-bits // n_chunks)  # ceil
+    spans = [
+        (i * width, min((i + 1) * width, bits)) for i in range(n_chunks)
+    ]
     chunks = sig.select(
         "id",
         "simhash",
@@ -244,9 +341,11 @@ def simhash_pairs(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk"),
-                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    F.shiftrightunsigned("simhash", lo)
+                    .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+                    .alias("val"),
                 )
-                for i in range(4)
+                for i, (lo, hi) in enumerate(spans)
             ])
         ).alias("cb"),
     ).select("id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.val").alias("val"))

@@ -15,6 +15,7 @@ Two paths:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -120,14 +121,23 @@ def _hyperplanes(dim: int, n_planes: int, seed: int):
     return vals.reshape(n_planes, dim)
 
 
+MAX_UNROLLED_NODES = 2048  # n_planes × dim ceiling for the codegen path
+
+
 def lsh_bucket_col(vec_col, planes) -> F.Column:
     """Signature bucket id: sign bits against each hyperplane, packed into
-    a long. Pure column expression over array<float>."""
+    a long. Pure column expression over array<float>.
+
+    The dot products are UNROLLED into a left-to-right arithmetic chain —
+    deliberately: sequential association makes the floating-point result
+    (and hence the sign at bucket boundaries) bit-reproducible in ANSI SQL
+    oracles that sum the same way. Only safe for small ``n_planes × dim``
+    (Catalyst tree nodes scale with it); :func:`with_lsh_buckets` switches
+    to the Arrow kernel above the guard.
+    """
     bits = []
     for p_i, plane in enumerate(planes):
         dot = F.lit(0.0)
-        # unrolled dot product: plane is a Python list of constants, so this
-        # compiles to a codegen'd arithmetic chain, no UDF.
         for d, wgt in enumerate(plane):
             dot = dot + F.get(vec_col, d) * float(wgt)
         bits.append(F.when(dot >= 0, F.lit(1 << p_i).cast("long")).otherwise(F.lit(0)))
@@ -135,6 +145,39 @@ def lsh_bucket_col(vec_col, planes) -> F.Column:
     for b in bits:
         out = out + b
     return out
+
+
+def _bucket_pandas_udf(planes):
+    """Arrow-batched sign-matmul bucket kernel: one numpy matmul per batch.
+
+    The scale path for production embedding dims (768–4096) × many planes,
+    where the unrolled expression would be a 10^4–10^5-node Catalyst tree
+    (analyzer/codegen blowup, interpreted fallback). Float summation order
+    differs from the unrolled chain, so a vector lying EXACTLY on a
+    hyperplane could bucket differently — irrelevant in practice and the
+    reason the oracle-checked tier keeps the unrolled form.
+    """
+    import numpy as np
+
+    pmat = planes.T.copy()  # (dim, n_planes)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.array(list(v), dtype=np.float64)  # (batch, dim)
+        signs = (mat @ pmat) >= 0.0  # (batch, n_planes)
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    return bucket
+
+
+def with_lsh_buckets(df: DataFrame, vec_col, planes, out_col: str) -> DataFrame:
+    """Add the LSH bucket column, picking codegen vs Arrow by size guard."""
+    if planes.size <= MAX_UNROLLED_NODES:
+        return df.withColumn(out_col, lsh_bucket_col(F.col(vec_col), planes))
+    return df.withColumn(out_col, _bucket_pandas_udf(planes)(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -157,17 +200,20 @@ def lsh_topk(
     boundaries. Join is bucket-equi — no cross join anywhere.
     """
     if dim is None:
+        # driver roundtrip (scans one row) — pass dim explicitly at scale
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cvec"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    c = with_lsh_buckets(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec", planes, "bucket",
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("qbucket"),
+    q = with_lsh_buckets(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec", planes, "qbucket",
     )
     if multiprobe:
         probes = F.array(
@@ -197,18 +243,22 @@ def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 12,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, candidates via
     shared LSH bucket → ``(id_a, id_b, cos_sim)``."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        # driver roundtrip (scans one row) — pass dim explicitly at scale
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    e = with_lsh_buckets(
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ),
+        "vec", planes, "bucket",
     )
     pairs = (
         e.alias("x")

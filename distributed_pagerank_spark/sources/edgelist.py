@@ -31,7 +31,36 @@ def read_edge_list(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_replace("line", r"^(\S+)\s+", r"$1,").alias("line")
     )
     parts = norm.select(F.split("line", ",").alias("p"))
+    # try_cast: a malformed field skips the line (ANSI-mode cast would
+    # abort the whole scan on one bad row)
     return parts.select(
-        F.element_at("p", 1).cast("long").alias("src"),
-        F.element_at("p", 2).cast("long").alias("dst"),
+        F.element_at("p", 1).try_cast("long").alias("src"),
+        F.element_at("p", 2).try_cast("long").alias("dst"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+
+def read_edge_list_http(
+    spark: SparkSession, url: str, timeout: int = 30
+) -> DataFrame:
+    """Fetch an edge-list over HTTP(S) and parse it with the same rules.
+
+    Replicates the reference's resource path (``pkg/graph/graph.go:19-33``
+    ``LoadGraphResource``: ``http.Get`` → whole body → same line rules).
+    Like the reference, the fetch is a single driver-side stream — HTTP has
+    no parallel byte-range contract here — so this is for the reference's
+    small-file use case; at scale, land the file on distributed storage
+    and use :func:`read_edge_list`. The body is staged to a local temp file
+    and parsed by the standard (codegen'd) reader, so parse semantics are
+    byte-identical between the two paths.
+    """
+    import tempfile
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        body = resp.read()
+    tmp = tempfile.NamedTemporaryFile(
+        mode="wb", suffix=".edgelist", delete=False
+    )
+    with tmp:
+        tmp.write(body)
+    return read_edge_list(spark, f"file://{tmp.name}")

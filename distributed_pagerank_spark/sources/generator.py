@@ -62,3 +62,34 @@ def generate_graph(
         .distinct()
         .select(F.col("src").cast("long"), F.col("dst").cast("long"))
     )
+
+
+def random_e_vector(
+    spark: SparkSession,
+    vertices: DataFrame,
+    seed: int = 42,
+    id_col: str = "id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Seeded random personalization vector → ``(id, e)``, e ∈ (0, 1].
+
+    Deterministic replica of the reference's random-E path
+    (``pkg/graph/graph.go:150-164``: ``rand.Float64`` per node, then
+    normalized on load, graph.go:93-97) — except seeded, so runs are
+    reproducible across cluster sizes. Normalization to Σe = 1 happens in
+    ``pagerank(normalize_e=True)``, mirroring the reference's load-time
+    normalization. ``hash_fn='md5'`` uses the cross-engine 60-bit hash so
+    the vector has an exact ANSI-SQL twin for oracle checks.
+    """
+    if hash_fn == "md5":
+        from distributed_pagerank_spark.operators.dedup import hash60_md5
+
+        h = hash60_md5(F.col(id_col).cast("string"), seed)
+    elif hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(1_000_000))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return vertices.select(
+        F.col(id_col).alias("id"),
+        ((F.pmod(h, F.lit(1_000_000)) + 1) / 1_000_000.0).alias("e"),
+    )

@@ -73,3 +73,31 @@ def test_label_propagation_generated(spark):
         for r in label_propagation(spark, edges, rounds=rounds).collect()
     }
     assert got == brute_label_propagation(pairs, rounds)
+
+
+def chain_edges(n):
+    return [(i, i + 1) for i in range(n - 1)]
+
+
+def test_components_pointer_matches_hashmin(spark):
+    edges = generate_graph(spark, 300, max_edges=4, seed=11)
+    a = {r["id"]: r["component"] for r in
+         connected_components(spark, edges, algorithm="hashmin").collect()}
+    b = {r["id"]: r["component"] for r in
+         connected_components(spark, edges, algorithm="pointer").collect()}
+    assert a == b
+
+
+def test_components_pointer_logarithmic_on_chain(spark):
+    """A length-n chain needs ~n hash-min rounds but O(log n) with pointer
+    jumping — the 100 TB path for long-diameter graphs."""
+    import math as m
+    n = 1024
+    metrics = []
+    out = connected_components(
+        spark, edges_df(spark, chain_edges(n)), algorithm="pointer",
+        metrics_out=metrics,
+    )
+    assert out.where("component != 0").count() == 0  # one component, min id 0
+    iters = len(metrics)
+    assert iters <= m.ceil(m.log2(n)) + 4, iters  # 10 + slack, vs 1023 hash-min

@@ -129,3 +129,61 @@ def test_max_iter_cap(spark):
         spark, edges_df(spark, ALL_FIXTURES["chain5"]), c=C, eps=0.0, max_iter=5
     )
     assert res.iterations == 5 and not res.converged
+
+
+def test_redistribute_no_extra_jobs_per_iteration(spark):
+    """dangling='redistribute' folds the dangling-mass sum into the
+    iteration's materializing job (Observation): an extra iteration costs
+    exactly as many Spark jobs as in 'reference' mode — the old
+    driver-side agg().first() per iteration is gone."""
+    sc = spark.sparkContext
+    pairs = ALL_FIXTURES["chain5"]
+
+    def jobs_for(group, max_iter, dangling):
+        sc.setJobGroup(group, group)
+        try:
+            pagerank(
+                spark, edges_df(spark, pairs), c=C, eps=0.0,
+                max_iter=max_iter, dangling=dangling,
+            )
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # stay below truncate_interval so lineage truncation doesn't add jobs
+    ref = jobs_for("ref-4", 4, "reference") - jobs_for("ref-2", 2, "reference")
+    red = jobs_for("red-4", 4, "redistribute") - jobs_for("red-2", 2, "redistribute")
+    assert red == ref  # zero extra jobs per iteration from redistribution
+
+
+def test_redistribute_resume_preserves_dang_mass(spark, tmp_path):
+    """Resume in redistribute mode must re-seed the dangling mass from the
+    checkpointed state, not restart it at 0."""
+    pairs = ALL_FIXTURES["chain5"]
+    d = str(tmp_path / "ck")
+    pagerank(spark, edges_df(spark, pairs), c=C, eps=0.0, max_iter=3,
+             dangling="redistribute", checkpoint_dir=d)
+    r = pagerank(spark, edges_df(spark, pairs), c=C, eps=0.0, max_iter=FIXED_ITERS,
+                 dangling="redistribute", checkpoint_dir=d)
+    full, _, _ = numpy_pagerank(
+        pairs, c=C, eps=0.0, max_iter=FIXED_ITERS, dangling="redistribute"
+    )
+    got = {x["id"]: x["rank"] for x in r.ranks.collect()}
+    assert_close(got, full)
+
+
+def test_resume_different_e_restarts(spark, tmp_path):
+    """The personalization vector is part of the resume fingerprint: a
+    checkpoint written with one e must not seed a run with another."""
+    pairs = ALL_FIXTURES["cycle4"]
+    d = str(tmp_path / "ck")
+    e1 = spark.createDataFrame([(0, 1.0), (1, 0.0), (2, 0.0), (3, 0.0)], "id long, e double")
+    e2 = spark.createDataFrame([(0, 0.0), (1, 1.0), (2, 0.0), (3, 0.0)], "id long, e double")
+    pagerank(spark, edges_df(spark, pairs), c=C, eps=0.0, max_iter=3,
+             e=e1, checkpoint_dir=d)
+    r2 = pagerank(spark, edges_df(spark, pairs), c=C, eps=0.0, max_iter=5,
+                  e=e2, checkpoint_dir=d)
+    fresh = pagerank(spark, edges_df(spark, pairs), c=C, eps=0.0, max_iter=5, e=e2)
+    got = {x["id"]: x["rank"] for x in r2.ranks.collect()}
+    want = {x["id"]: x["rank"] for x in fresh.ranks.collect()}
+    assert_close(got, want, tol=1e-12)

@@ -89,3 +89,51 @@ def test_embedding_near_duplicates_finds_planted(spark, emb):
     with_dup = emb.unionByName(dup)
     pairs = embedding_near_duplicates(with_dup, threshold=0.999).collect()
     assert any(r.id_a == 0 and r.id_b == 99999 for r in pairs)
+
+
+def test_bucket_kernel_paths_agree(spark, emb):
+    """The Arrow sign-matmul kernel and the unrolled codegen expression
+    bucket identically (random vectors never land exactly on a plane)."""
+    from distributed_pagerank_spark.operators.similarity import (
+        _bucket_pandas_udf,
+        _hyperplanes,
+        lsh_bucket_col,
+    )
+    dim = len(emb.select("embedding").first()[0])
+    planes = _hyperplanes(dim, 6, seed=7)
+    both = emb.select(
+        "vec_id",
+        lsh_bucket_col(F.col("embedding"), planes).alias("b_sql"),
+        _bucket_pandas_udf(planes)(F.col("embedding")).alias("b_arrow"),
+    )
+    assert both.where("b_sql != b_arrow").count() == 0
+
+
+def test_lsh_bigdim_uses_arrow_and_executes(spark):
+    """dim 1024 × 16 planes = 16k-term dot products: the unrolled Catalyst
+    expression would be a ~16k-node tree per plane; the size guard must
+    route to the Arrow kernel and the query must plan+run in bounded time."""
+    import time
+
+    from distributed_pagerank_spark.operators.similarity import (
+        MAX_UNROLLED_NODES,
+        _hyperplanes,
+        lsh_topk,
+    )
+    dim, n_planes = 1024, 16
+    assert _hyperplanes(dim, n_planes, 42).size > MAX_UNROLLED_NODES
+    base = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+    q = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.monotonic()
+    out = lsh_topk(base, q, k=5, n_planes=n_planes, dim=dim).collect()
+    assert time.monotonic() - t0 < 120
+    assert len(out) > 0
+    assert all(r.rk <= 5 for r in out)

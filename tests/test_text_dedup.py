@@ -134,3 +134,49 @@ def test_on_real_documents_table(spark):
     rows = out.collect()
     assert len(rows) == 500
     assert all(r.tokens > 0 and 0 <= r.q <= 1 for r in rows)
+
+
+def test_md5_hash_mode_matches_xxhash_semantics(spark, docs):
+    """hash_fn='md5' (the SQL-twinnable 60-bit hash) must preserve operator
+    semantics: identical docs estimate 1.0, signatures deterministic."""
+    approx = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.3, num_hashes=64, bands=16, hash_fn="md5"
+        ).collect()
+    }
+    assert approx[(1, 2)] == 1.0
+    s1 = {r.id: tuple(r.sig) for r in minhash_signatures(docs, 16, hash_fn="md5").collect()}
+    s2 = {r.id: tuple(r.sig) for r in
+          minhash_signatures(docs.repartition(5), 16, hash_fn="md5").collect()}
+    assert s1 == s2
+    sim = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_pairs(docs, max_hamming=3, bits=60, hash_fn="md5").collect()}
+    assert sim[(1, 2)] == 0
+
+
+def test_simhash_pigeonhole_complete_for_any_hamming(spark, docs):
+    """max_hamming+1 chunks ⇒ candidate generation is complete for every
+    max_hamming: the banded result equals brute force over signatures."""
+    from distributed_pagerank_spark.operators.dedup import simhash_signatures
+    mask = (1 << 64) - 1  # signed long → unsigned popcount
+    for h in (5, 8):
+        sigs = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
+        brute = {
+            (a, b): bin((sigs[a] ^ sigs[b]) & mask).count("1")
+            for a in sigs for b in sigs if a < b
+            and bin((sigs[a] ^ sigs[b]) & mask).count("1") <= h
+        }
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in simhash_pairs(docs, max_hamming=h).collect()}
+        assert got == brute, h
+
+
+def test_jaccard_df_cap(spark, docs):
+    """Hot-shingle cap: df_cap=1 removes every shared shingle (a shared
+    shingle has df≥2) → no pairs; a high cap changes nothing."""
+    assert jaccard_pairs(docs, threshold=0.1, max_shingle_df=1).count() == 0
+    uncapped = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              jaccard_pairs(docs, threshold=0.5, max_shingle_df=10**6).collect()}
+    assert uncapped == capped

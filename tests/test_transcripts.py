@@ -90,3 +90,60 @@ def test_edgelist_reader(spark, tmp_path):
     )
     got = sorted(map(tuple, read_edge_list(spark, str(p)).collect()))
     assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_http_edgelist_matches_file_reader(spark, tmp_path):
+    """LoadGraphResource parity (graph.go:19-33): HTTP fetch parses
+    byte-identically to the file reader."""
+    import http.server
+    import socketserver
+    import threading
+
+    from distributed_pagerank_spark.sources.edgelist import (
+        read_edge_list,
+        read_edge_list_http,
+    )
+
+    fixture_dir = "/root/repo/tests/fixtures"
+
+    class H(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=fixture_dir, **kw)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as httpd:
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            via_http = sorted(
+                (r.src, r.dst)
+                for r in read_edge_list_http(
+                    spark, f"http://127.0.0.1:{port}/web_edges.txt"
+                ).collect()
+            )
+        finally:
+            httpd.shutdown()
+    via_file = sorted(
+        (r.src, r.dst)
+        for r in read_edge_list(spark, f"{fixture_dir}/web_edges.txt").collect()
+    )
+    assert via_http == via_file
+    assert via_http == [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (5, 2)]
+
+
+def test_random_e_vector_seeded(spark):
+    """Seeded replica of the reference's random-E (graph.go:150-164):
+    deterministic across partitionings, values in (0, 1]."""
+    from distributed_pagerank_spark.sources.generator import random_e_vector
+
+    verts = spark.range(100).select(F.col("id"))
+    e1 = {r.id: r.e for r in random_e_vector(spark, verts, seed=3).collect()}
+    e2 = {r.id: r.e for r in
+          random_e_vector(spark, verts.repartition(7), seed=3).collect()}
+    assert e1 == e2
+    assert all(0.0 < v <= 1.0 for v in e1.values())
+    assert len(set(e1.values())) > 90  # not degenerate
+    e3 = {r.id: r.e for r in random_e_vector(spark, verts, seed=4).collect()}
+    assert e1 != e3
