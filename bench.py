@@ -31,9 +31,11 @@ from distributed_pagerank_spark.plans.triangles import triangle_count  # noqa: E
 from distributed_pagerank_spark.operators.dedup import (  # noqa: E402
     jaccard_pairs,
     minhash_lsh_pairs,
+    simhash_pairs,
 )
 from distributed_pagerank_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
+    lsh_topk,
 )
 from distributed_pagerank_spark.functions.text import (  # noqa: E402
     lang_id,
@@ -85,15 +87,23 @@ def main() -> None:
 
     # training-data toolkit
     run("q_dedup_jaccard", lambda: jaccard_pairs(
-        t("documents"), threshold=0.5).count())
+        t("documents"), threshold=0.5, max_shingle_df=1000).count())
     run("q_dedup_minhash_lsh", lambda: minhash_lsh_pairs(
         t("documents"), threshold=0.5).count())
+    run("q_dedup_simhash", lambda: simhash_pairs(
+        t("documents"), max_hamming=3).count())
 
     def _ann():
         emb = t("embeddings")
         q = emb.limit(32).select(F.col("vec_id").alias("query_id"), "embedding")
         brute_force_topk(emb, q, k=10, method="pandas").count()
     run("q_ann_cosine_topk", _ann)
+
+    def _ann_lsh():
+        emb = t("embeddings")
+        q = emb.limit(32).select(F.col("vec_id").alias("query_id"), "embedding")
+        lsh_topk(emb, q, k=10, n_planes=8).count()
+    run("q_ann_lsh_topk", _ann_lsh)
 
     run("q_text_analysis", lambda: t("documents").select(
         token_count("text"), lang_id("text"), quality_score("text")

@@ -28,12 +28,20 @@ def build_parser() -> argparse.ArgumentParser:
         "pagerank", "components", "labelprop", "triangles", "derive-edges",
     ])
     src = p.add_mutually_exclusive_group(required=True)
-    src.add_argument("--transcripts", help="parquet/iceberg path of the "
-                     "transcripts table (conv_id, turn_idx, role, text, tool, ts)")
+    src.add_argument("--transcripts", help="path of the transcripts table "
+                     "(conv_id, turn_idx, role, text, tool, ts); see --format")
+    src.add_argument("--transcripts-table", help="catalog table name of the "
+                     "transcripts table (e.g. an Iceberg catalog table)")
     src.add_argument("--edges", help="parquet path of edges(src,dst)")
     src.add_argument("--edge-list", help="text edge-list file (reference format)")
+    src.add_argument("--edge-list-url", help="HTTP(S) URL of a reference-format "
+                     "edge list (reference LoadGraphResource parity)")
     src.add_argument("--generate", type=int, metavar="N",
                      help="seeded random graph with N vertices")
+    p.add_argument("--format", default="parquet",
+                   help="transcripts storage format: parquet (default), "
+                        "iceberg (needs the iceberg-spark runtime + catalog "
+                        "conf), orc, json, csv, ...")
     p.add_argument("--max-edges", type=int, default=5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("-c", "--damping", type=float, default=0.85)
@@ -57,12 +65,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_edges(spark, args):
-    from distributed_pagerank_spark.sources.transcripts import derive_edges
-    from distributed_pagerank_spark.sources.edgelist import read_edge_list
+    from distributed_pagerank_spark.sources.transcripts import (
+        derive_edges,
+        load_transcripts,
+    )
+    from distributed_pagerank_spark.sources.edgelist import (
+        read_edge_list,
+        read_edge_list_http,
+    )
     from distributed_pagerank_spark.sources.generator import generate_graph
 
     if args.transcripts:
-        t = spark.read.parquet(args.transcripts)
+        t = load_transcripts(spark, args.transcripts, format=args.format)
+        return derive_edges(t)
+    if getattr(args, "transcripts_table", None):
+        t = load_transcripts(spark, table=args.transcripts_table)
         return derive_edges(t)
     if args.edges:
         return spark.read.parquet(args.edges).select(
@@ -70,6 +87,8 @@ def load_edges(spark, args):
         )
     if args.edge_list:
         return read_edge_list(spark, args.edge_list)
+    if getattr(args, "edge_list_url", None):
+        return read_edge_list_http(spark, args.edge_list_url)
     return generate_graph(spark, args.generate, args.max_edges, args.seed)
 
 

@@ -160,3 +160,49 @@ def turn_text_invariant(transcripts: DataFrame) -> DataFrame:
     return transcripts.where(
         F.col("text") != F.concat_ws(":", "conv_id", "turn_idx", "role")
     )
+
+
+def load_transcripts(
+    spark: SparkSession,
+    path: str | None = None,
+    format: str = "parquet",
+    table: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Load the transcripts table from its storage format.
+
+    The production input (BASELINE.json ``input_hint``) is an **Iceberg**
+    table: pass ``format='iceberg'`` with either a catalog ``table`` name
+    (``spark.table``) or a metadata ``path``
+    (``spark.read.format('iceberg').load``). Requires the
+    iceberg-spark-runtime jar and a ``spark.sql.catalog.*`` configuration
+    on the session — both standard cluster deployment concerns; this
+    sandbox has no such jar, so the Iceberg path is exercised by tests
+    only when the runtime is present (see tests/test_transcripts.py).
+    Any other Spark DataSourceV2 format (parquet/orc/json/csv/delta)
+    dispatches through the same reader.
+    """
+    if table is not None:
+        df = spark.table(table)
+    else:
+        if path is None:
+            raise ValueError("need path or table")
+        reader = spark.read.format(format)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(path)
+    missing = [c for c in TRANSCRIPT_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"transcripts table missing columns: {missing}")
+    return df.select(*TRANSCRIPT_COLUMNS)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
