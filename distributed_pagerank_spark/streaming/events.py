@@ -104,3 +104,89 @@ def stream_events_from_parquet(spark, path: str, schema=None) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(path)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the custom stateful operator
+    the batch :func:`sessionize` can't express incrementally.
+
+    ``applyInPandasWithState`` keeps ONE open session per user as state
+    ``(start_us, last_us, n_events)``; each micro-batch folds its events
+    into the open session, emits every session closed by a gap, and arms
+    an event-time timeout at ``last_ts + gap`` so the watermark closes
+    idle sessions without waiting for the user's next event. State is
+    per-key and O(1) — at 100 TB/day event volume the state store holds
+    one row per active user, not per event.
+
+    Output (append mode): ``(user_id, session_start, session_end,
+    n_events)`` — one row per CLOSED session; matches the batch
+    :func:`sessionize` for every session the watermark has passed.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        uid = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [uid], "start_us": [start_us],
+                 "end_us": [last_us], "n_events": [n]}
+            )
+            return
+        ts_us = []
+        for pdf in pdfs:
+            # pandas datetime64[ns] → epoch micros (int64 view is NANOS)
+            ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        ts_us.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = n = None
+        closed = []
+        for t in ts_us:
+            if n is None:  # no open session
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:  # gap: close, open fresh
+                closed.append((uid, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:  # extend (a within-watermark late event only extends n)
+                last_us, n = max(last_us, t), n + 1
+        if n is not None:
+            state.update((int(start_us), int(last_us), int(n)))
+            # close the open session once the watermark passes last+gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "start_us", "end_us", "n_events"]
+            )
+
+    e = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).withWatermark("ts", watermark)
+    out = e.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, start_us long, end_us long, n_events long",
+        stateStructType="start_us long, last_us long, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+    )

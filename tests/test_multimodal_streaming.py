@@ -110,3 +110,58 @@ def test_sessionize(spark):
     assert sessions.agg(F.sum("n_events")).first()[0] == events.count()
     bad = sessions.where(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState streaming sessionization: every session the
+    watermark has closed must equal the batch sessionize result; each
+    user's final (still-open) session may be withheld."""
+    from distributed_pagerank_spark.streaming.events import sessionize_stream
+
+    events = spark.read.parquet(f"{SF}/events.parquet").where("user_id < 40")
+    srcdir = str(tmp_path / "ev_dir")
+    events.write.mode("overwrite").parquet(srcdir)
+
+    stream = stream_events_from_parquet(spark, srcdir)
+    out = sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions")
+        .option("checkpointLocation", str(tmp_path / "sck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    batch = sessionize(events, gap_minutes=30).select(
+        "user_id",
+        F.col("session_start").cast("timestamp").alias("session_start"),
+        F.col("session_end").cast("timestamp").alias("session_end"),
+        "n_events",
+    ).collect()
+    # drop each user's last session (open at end-of-stream; the final
+    # watermark may or may not have passed it)
+    last_per_user = {}
+    for r in batch:
+        k = last_per_user.get(r.user_id)
+        if k is None or r.session_start > k.session_start:
+            last_per_user[r.user_id] = r
+    want_closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch if last_per_user[r.user_id] is not r
+    }
+    assert want_closed, "fixture must contain multiple sessions per user"
+    # every batch-closed session was emitted identically by the stream
+    missing = want_closed - got
+    assert not missing, sorted(missing)[:3]
+    # and the stream emitted nothing the batch doesn't know about
+    all_batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in batch
+    }
+    assert got <= all_batch
