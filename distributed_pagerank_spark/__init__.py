@@ -25,8 +25,18 @@ from distributed_pagerank_spark.sources.transcripts import (
     synth_transcripts,
     derive_edges,
 )
-from distributed_pagerank_spark.sources.edgelist import read_edge_list
-from distributed_pagerank_spark.sources.generator import generate_graph
+from distributed_pagerank_spark.sources.transcripts import (
+    iceberg_available,
+    load_transcripts,
+)
+from distributed_pagerank_spark.sources.edgelist import (
+    read_edge_list,
+    read_edge_list_http,
+)
+from distributed_pagerank_spark.sources.generator import (
+    generate_graph,
+    random_e_vector,
+)
 from distributed_pagerank_spark.operators.degrees import (
     out_degrees,
     symmetrize,
@@ -41,8 +51,12 @@ __all__ = [
     "get_spark",
     "synth_transcripts",
     "derive_edges",
+    "load_transcripts",
+    "iceberg_available",
     "read_edge_list",
+    "read_edge_list_http",
     "generate_graph",
+    "random_e_vector",
     "out_degrees",
     "symmetrize",
     "vertices_from_edges",

@@ -337,6 +337,7 @@ def pagerank(
             last_truncated = truncated
             prev_snapshot = None
             since_truncate = 0
+            iter_metrics["truncated"] = True
         iter_metrics["total_s"] = round(time.monotonic() - t0, 4)
         metrics.append(iter_metrics)
 
