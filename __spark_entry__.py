@@ -69,7 +69,25 @@ NEAR_DUP_THRESHOLD = 0.4  # non-vacuous at sf0.01's cosine distribution
 JACCARD_DF_CAP = 5  # hot-shingle DF cap; bites at sf0.01 (max shingle df=7)
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime SQL confs on the caller's session (values unaffected).
+
+    The correctness driver runs these queries under ITS OWN SparkSession —
+    typically with the 200-partition default, which at sf0.01 spends more
+    time scheduling empty tasks than computing. These are all mutable
+    runtime confs; setting them here is engine tuning, not session
+    ownership."""
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -470,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _q_pagerank_transcripts(s, d):
         # rows-only: flagship path over the BASELINE input_hint table shape
+        _tune(s)
         t = synth_transcripts(s, n_convs=300, seed=42)
         res = pagerank(s, derive_edges(t), c=0.85, eps=1e-6, max_iter=12)
         return res.ranks.select("id", F.round("rank", 9).alias("rank"))

@@ -21,7 +21,13 @@ varies 3-30× run to run), so the protocol is:
   reported alongside;
 - each level also measures the per-iteration phases once, outside the
   timed loop: scatter join, scatter+gather agg, full update
-  (join+project+persist), and reliable checkpoint.
+  (join+project+persist), reliable checkpoint, and the FIXED DRIVER FLOOR
+  (a count job over the already-cached state — pure scheduling/py4j/GC
+  cost that does not shrink with cores and bounds achievable efficiency:
+  ``eff_max = (W/8 + C) / (4 * (W/32 + C))``);
+- the input graph is synthesized ONCE by the orchestrator and written to
+  parquet; every level reads the identical files (and the gen cost stops
+  contaminating the runs).
 
 Usage:
     python tools/bench_scaling.py                 # orchestrate all runs
@@ -38,9 +44,16 @@ import sys
 import time
 
 N_CONVS = int(os.environ.get("SCALING_N_CONVS", "1400000"))
-WARMUP = 3
-MEASURE = 10
-SEQUENCE = (8, 32, 8, 32)
+WARMUP = int(os.environ.get("SCALING_WARMUP", "3"))
+MEASURE = int(os.environ.get("SCALING_MEASURE", "10"))
+SEQUENCE = tuple(
+    int(x) for x in os.environ.get("SCALING_SEQUENCE", "8,32,8,32").split(",")
+)
+EDGES_PATH = os.environ.get(
+    "SCALING_EDGES",
+    ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
+    + f"/scaling_edges_{N_CONVS}.parquet",
+)
 
 
 def _timed(fn, reps=3):
@@ -52,15 +65,32 @@ def _timed(fn, reps=3):
     return round(statistics.median(out), 2)
 
 
-def worker(cores: int) -> None:
+def generate_once() -> None:
+    """Synthesize the deterministic input graph and park it as parquet so
+    every level reads identical bytes (BASELINE.md: "same deterministic
+    input")."""
+    if os.path.exists(EDGES_PATH):
+        return
     sys.path.insert(0, "/root/repo")
-    from pyspark.sql import functions as F
-
     from distributed_pagerank_spark.session import get_spark
     from distributed_pagerank_spark.sources.transcripts import (
         derive_edges,
         synth_transcripts,
     )
+
+    spark = get_spark(app_name="scaling-gen", master="local[32]",
+                      shuffle_partitions=32,
+                      extra_conf={"spark.driver.memory": "48g"})
+    t = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
+    derive_edges(t).write.mode("overwrite").parquet(EDGES_PATH)
+    spark.stop()
+
+
+def worker(cores: int) -> None:
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from distributed_pagerank_spark.session import get_spark
     from distributed_pagerank_spark.plans.pagerank import pagerank
     from distributed_pagerank_spark.operators.degrees import (
         out_degrees,
@@ -75,8 +105,7 @@ def worker(cores: int) -> None:
         extra_conf={"spark.driver.memory": "48g"},
     )
     t0 = time.monotonic()
-    t = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
-    edges = derive_edges(t).localCheckpoint(eager=True)
+    edges = spark.read.parquet(EDGES_PATH)
     m = edges.count()
     gen_s = time.monotonic() - t0
 
@@ -128,6 +157,10 @@ def worker(cores: int) -> None:
         snap.unpersist()
     update_s = _timed(_update)
     ckpt_s = _timed(lambda: state.checkpoint(eager=True), reps=2)
+    # fixed driver floor: a job over the already-cached state does ~zero
+    # executor work — what remains is scheduling + py4j + result fetch,
+    # the per-iteration cost that does NOT scale with cores.
+    floor_s = _timed(lambda: state.count(), reps=5)
 
     print(json.dumps({
         "cores": cores,
@@ -141,6 +174,7 @@ def worker(cores: int) -> None:
             "scatter_plus_gather": gather_s,
             "full_update": update_s,
             "reliable_checkpoint": ckpt_s,
+            "driver_floor_job": floor_s,
         },
     }))
 
@@ -149,11 +183,12 @@ def main() -> None:
     if "--worker" in sys.argv:
         worker(int(sys.argv[sys.argv.index("--worker") + 1]))
         return
+    generate_once()
     samples: dict[int, dict] = {}
     for run_i, cores in enumerate(SEQUENCE):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
-            capture_output=True, text=True, timeout=3600, cwd="/root/repo",
+            capture_output=True, text=True, timeout=7200, cwd="/root/repo",
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
@@ -170,7 +205,8 @@ def main() -> None:
 
     result = {"metric": "pagerank_scaling_efficiency_local8_vs_local32",
               "protocol": "interleaved fresh-JVM runs " + repr(SEQUENCE),
-              "n_convs": N_CONVS, "levels": {}}
+              "n_convs": N_CONVS, "warmup": WARMUP, "measure": MEASURE,
+              "edges_path": EDGES_PATH, "levels": {}}
     for cores, s in samples.items():
         steady = sorted(s["steady_iter_s"])
         med = statistics.median(steady)
