@@ -88,14 +88,8 @@ def generate_once() -> None:
 
 def worker(cores: int) -> None:
     sys.path.insert(0, "/root/repo")
-    from pyspark.sql import functions as F
-
     from distributed_pagerank_spark.session import get_spark
     from distributed_pagerank_spark.plans.pagerank import pagerank
-    from distributed_pagerank_spark.operators.degrees import (
-        out_degrees,
-        vertices_from_edges,
-    )
 
     parts = max(cores, 8)
     spark = get_spark(
@@ -117,7 +111,30 @@ def worker(cores: int) -> None:
     steady = [x["total_s"] for x in measured if not x.get("truncated")]
     trunc = [x["total_s"] for x in measured if x.get("truncated")]
 
-    # ---- per-phase breakdown (outside the timed loop, same plan shape) --
+    phases = {}
+    if os.environ.get("SCALING_PHASES", "1") == "1":
+        phases = _measure_phases(spark, edges, parts)
+
+    print(json.dumps({
+        "cores": cores,
+        "edges": m,
+        "vertices": res.ranks.count(),
+        "gen_s": round(gen_s, 1),
+        "steady_iter_s": [round(x, 2) for x in steady],
+        "trunc_iter_s": [round(x, 2) for x in trunc],
+        "phases_s": phases,
+    }))
+
+
+def _measure_phases(spark, edges, parts) -> dict:
+    """Per-phase breakdown (outside the timed loop, same plan shape)."""
+    from pyspark.sql import functions as F
+
+    from distributed_pagerank_spark.operators.degrees import (
+        out_degrees,
+        vertices_from_edges,
+    )
+
     deg = out_degrees(edges, "distinct")
     e = edges.distinct()
     ew = (
@@ -161,22 +178,13 @@ def worker(cores: int) -> None:
     # executor work — what remains is scheduling + py4j + result fetch,
     # the per-iteration cost that does NOT scale with cores.
     floor_s = _timed(lambda: state.count(), reps=5)
-
-    print(json.dumps({
-        "cores": cores,
-        "edges": m,
-        "vertices": n,
-        "gen_s": round(gen_s, 1),
-        "steady_iter_s": [round(x, 2) for x in steady],
-        "trunc_iter_s": [round(x, 2) for x in trunc],
-        "phases_s": {
-            "scatter_join": scatter_s,
-            "scatter_plus_gather": gather_s,
-            "full_update": update_s,
-            "reliable_checkpoint": ckpt_s,
-            "driver_floor_job": floor_s,
-        },
-    }))
+    return {
+        "scatter_join": scatter_s,
+        "scatter_plus_gather": gather_s,
+        "full_update": update_s,
+        "reliable_checkpoint": ckpt_s,
+        "driver_floor_job": floor_s,
+    }
 
 
 def main() -> None:
@@ -185,14 +193,22 @@ def main() -> None:
         return
     generate_once()
     samples: dict[int, dict] = {}
+    seen_levels: set[int] = set()
     for run_i, cores in enumerate(SEQUENCE):
+        # the phase breakdown (_timed × reps) costs several minutes per
+        # 8-core leg at full size; measure it on the first leg per level
+        # only — iteration samples are what the pooled stats need.
+        env = dict(os.environ)
+        env["SCALING_PHASES"] = "1" if cores not in seen_levels else "0"
+        seen_levels.add(cores)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
             capture_output=True, text=True, timeout=7200, cwd="/root/repo",
+            env=env,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
-        print(line)
+        print(line, flush=True)
         s = samples.setdefault(cores, {
             "cores": cores, "edges": r["edges"], "vertices": r["vertices"],
             "gen_s": [], "steady_iter_s": [], "trunc_iter_s": [],
@@ -201,7 +217,13 @@ def main() -> None:
         s["gen_s"].append(r["gen_s"])
         s["steady_iter_s"].extend(r["steady_iter_s"])
         s["trunc_iter_s"].extend(r["trunc_iter_s"])
-        s["phases_s"].append(r["phases_s"])
+        if r["phases_s"]:
+            s["phases_s"].append(r["phases_s"])
+        # crash-safe: park everything gathered so far after every leg
+        with open("/root/repo/BENCH/scaling_partial.json", "w") as f:
+            json.dump({"completed_legs": run_i + 1, "sequence": SEQUENCE,
+                       "samples": {str(k): v for k, v in samples.items()}},
+                      f, indent=1)
 
     result = {"metric": "pagerank_scaling_efficiency_local8_vs_local32",
               "protocol": "interleaved fresh-JVM runs " + repr(SEQUENCE),
@@ -210,19 +232,33 @@ def main() -> None:
     for cores, s in samples.items():
         steady = sorted(s["steady_iter_s"])
         med = statistics.median(steady)
+        # the sandbox host is multi-tenant with 3-15× same-work wall-clock
+        # jitter; the MINIMUM is the standard least-contended estimate of
+        # the true cost, p25 a jitter-robust middle ground. All three are
+        # reported; BENCH/BASELINE.md discusses which to trust.
+        p25 = steady[(len(steady) - 1) // 4]
         n_iters = len(s["steady_iter_s"]) + len(s["trunc_iter_s"])
         total = sum(s["steady_iter_s"]) + sum(s["trunc_iter_s"])
         result["levels"][str(cores)] = {
             **{k: s[k] for k in ("cores", "edges", "vertices", "gen_s",
                                  "steady_iter_s", "trunc_iter_s", "phases_s")},
             "median_steady_iter_s": round(med, 3),
+            "min_steady_iter_s": round(steady[0], 3),
+            "p25_steady_iter_s": round(p25, 3),
             "amortized_iter_s": round(total / n_iters, 3),
             "iters_per_hour_steady": round(3600.0 / med, 1),
+            "iters_per_hour_min": round(3600.0 / steady[0], 1),
             "iters_per_hour_amortized": round(3600.0 * n_iters / total, 1),
         }
     lo, hi = result["levels"]["8"], result["levels"]["32"]
     result["efficiency_steady"] = round(
         (hi["iters_per_hour_steady"] / lo["iters_per_hour_steady"]) / 4.0, 3
+    )
+    result["efficiency_min"] = round(
+        (hi["iters_per_hour_min"] / lo["iters_per_hour_min"]) / 4.0, 3
+    )
+    result["efficiency_p25"] = round(
+        (lo["p25_steady_iter_s"] / hi["p25_steady_iter_s"]) / 4.0, 3
     )
     result["efficiency_amortized"] = round(
         (hi["iters_per_hour_amortized"] / lo["iters_per_hour_amortized"]) / 4.0, 3
