@@ -68,22 +68,31 @@ def _timed(fn, reps=3):
 def generate_once() -> None:
     """Synthesize the deterministic input graph and park it as parquet so
     every level reads identical bytes (BASELINE.md: "same deterministic
-    input")."""
+    input"). Runs in a subprocess: ``spark.stop()`` leaves the py4j
+    gateway JVM alive (child of this process) and it has been observed
+    spinning at several cores afterwards — a subprocess exit guarantees
+    the JVM is gone before the first measured leg."""
     if os.path.exists(EDGES_PATH):
         return
-    sys.path.insert(0, "/root/repo")
-    from distributed_pagerank_spark.session import get_spark
-    from distributed_pagerank_spark.sources.transcripts import (
-        derive_edges,
-        synth_transcripts,
-    )
+    if "--generate" in sys.argv:
+        sys.path.insert(0, "/root/repo")
+        from distributed_pagerank_spark.session import get_spark
+        from distributed_pagerank_spark.sources.transcripts import (
+            derive_edges,
+            synth_transcripts,
+        )
 
-    spark = get_spark(app_name="scaling-gen", master="local[32]",
-                      shuffle_partitions=32,
-                      extra_conf={"spark.driver.memory": "48g"})
-    t = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
-    derive_edges(t).write.mode("overwrite").parquet(EDGES_PATH)
-    spark.stop()
+        spark = get_spark(app_name="scaling-gen", master="local[32]",
+                          shuffle_partitions=32,
+                          extra_conf={"spark.driver.memory": os.environ.get("SCALING_DRIVER_MEM", "48g")})
+        t = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
+        derive_edges(t).write.mode("overwrite").parquet(EDGES_PATH)
+        spark.stop()
+        return
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--generate"],
+        check=True, timeout=7200, cwd="/root/repo",
+    )
 
 
 def worker(cores: int) -> None:
@@ -96,7 +105,7 @@ def worker(cores: int) -> None:
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=parts,
-        extra_conf={"spark.driver.memory": "48g"},
+        extra_conf={"spark.driver.memory": os.environ.get("SCALING_DRIVER_MEM", "48g")},
     )
     t0 = time.monotonic()
     edges = spark.read.parquet(EDGES_PATH)
@@ -192,6 +201,8 @@ def main() -> None:
         worker(int(sys.argv[sys.argv.index("--worker") + 1]))
         return
     generate_once()
+    if "--generate" in sys.argv:
+        return
     samples: dict[int, dict] = {}
     seen_levels: set[int] = set()
     for run_i, cores in enumerate(SEQUENCE):
@@ -199,7 +210,10 @@ def main() -> None:
         # 8-core leg at full size; measure it on the first leg per level
         # only — iteration samples are what the pooled stats need.
         env = dict(os.environ)
-        env["SCALING_PHASES"] = "1" if cores not in seen_levels else "0"
+        env["SCALING_PHASES"] = (
+            "1" if cores not in seen_levels
+            and os.environ.get("SCALING_NO_PHASES") != "1" else "0"
+        )
         seen_levels.add(cores)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
