@@ -41,6 +41,7 @@ from distributed_pagerank_spark.operators.degrees import (
 )
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
+    loop_conf,
     obs_name,
     release_local_checkpoint,
     safe_truncate,
@@ -105,73 +106,74 @@ def connected_components(
     iteration = start_iter
     prev = labels
     since_truncate = 0
-    while iteration < max_iter:
-        iteration += 1
-        t0 = time.monotonic()
-        nbr = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        obs = Observation(obs_name(f"cc_changed_{iteration}"))
-        candidate = F.coalesce(F.col("nbr_min"), F.col("component"))
-        step = labels.join(nbr, labels["id"] == nbr["dst"], "left")
-        if algorithm == "pointer":
-            # pointer jump: label(label(v)). Every label value is a vertex
-            # id (init = own id; min over ids), so the self-join resolves.
-            # The label vector is |V|-sized — this join shuffles only it.
-            jump = labels.select(
-                F.col("id").alias("__lid"), F.col("component").alias("__lcomp")
+    with loop_conf(spark):
+        while iteration < max_iter:
+            iteration += 1
+            t0 = time.monotonic()
+            nbr = (
+                sym.join(labels, sym["src"] == labels["id"])
+                .groupBy("dst")
+                .agg(F.min("component").alias("nbr_min"))
             )
-            step = step.join(
-                jump, F.col("component") == F.col("__lid"), "left"
+            obs = Observation(obs_name(f"cc_changed_{iteration}"))
+            candidate = F.coalesce(F.col("nbr_min"), F.col("component"))
+            step = labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            if algorithm == "pointer":
+                # pointer jump: label(label(v)). Every label value is a vertex
+                # id (init = own id; min over ids), so the self-join resolves.
+                # The label vector is |V|-sized — this join shuffles only it.
+                jump = labels.select(
+                    F.col("id").alias("__lid"), F.col("component").alias("__lcomp")
+                )
+                step = step.join(
+                    jump, F.col("component") == F.col("__lid"), "left"
+                )
+                candidate = F.least(
+                    candidate, F.coalesce(F.col("__lcomp"), F.col("component"))
+                )
+            new_labels = (
+                step.select(
+                    "id",
+                    F.col("component").alias("old"),
+                    F.least(F.col("component"), candidate).alias("component"),
+                )
+                .observe(
+                    obs,
+                    F.sum((F.col("component") != F.col("old")).cast("long")).alias(
+                        "changed"
+                    ),
+                )
+                .select("id", "component")
+                .persist()
             )
-            candidate = F.least(
-                candidate, F.coalesce(F.col("__lcomp"), F.col("component"))
-            )
-        new_labels = (
-            step.select(
-                "id",
-                F.col("component").alias("old"),
-                F.least(F.col("component"), candidate).alias("component"),
-            )
-            .observe(
-                obs,
-                F.sum((F.col("component") != F.col("old")).cast("long")).alias(
-                    "changed"
-                ),
-            )
-            .select("id", "component")
-            .persist()
-        )
-        new_labels.count()
-        changed = obs.get["changed"] or 0
-        labels = new_labels
-        if prev is not None:
-            release_local_checkpoint(prev)
-        prev = new_labels
-        since_truncate += 1
-        if since_truncate >= 5:
-            truncated = safe_truncate(spark, labels)  # see pagerank
-            labels.unpersist()
-            labels = truncated
-            prev = None
-            since_truncate = 0
-        converged = changed == 0
-        meta = {
-            "algo": "connected_components",
-            "changed": changed,
-            "converged": converged,
-            "fingerprint": fingerprint,
-            "iter_s": round(time.monotonic() - t0, 4),
-        }
-        if metrics_out is not None:
-            metrics_out.append({"iteration": iteration, **meta})
-        if ckpt.enabled() and (
-            iteration % checkpoint_interval == 0 or converged
-        ):
-            ckpt.save(iteration, labels, meta)  # durable resume point only
-        if converged:
-            break
+            new_labels.count()
+            changed = obs.get["changed"] or 0
+            labels = new_labels
+            if prev is not None:
+                release_local_checkpoint(prev)
+            prev = new_labels
+            since_truncate += 1
+            if since_truncate >= 5:
+                truncated = safe_truncate(spark, labels)  # see pagerank
+                labels.unpersist()
+                labels = truncated
+                prev = None
+                since_truncate = 0
+            converged = changed == 0
+            meta = {
+                "algo": "connected_components",
+                "changed": changed,
+                "converged": converged,
+                "fingerprint": fingerprint,
+                "iter_s": round(time.monotonic() - t0, 4),
+            }
+            if metrics_out is not None:
+                metrics_out.append({"iteration": iteration, **meta})
+            if ckpt.enabled() and (
+                iteration % checkpoint_interval == 0 or converged
+            ):
+                ckpt.save(iteration, labels, meta)  # durable resume point only
+            if converged:
+                break
     sym.unpersist()
     return labels.select("id", "component")

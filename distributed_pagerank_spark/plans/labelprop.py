@@ -26,6 +26,7 @@ from distributed_pagerank_spark.operators.degrees import (
 )
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
+    loop_conf,
     obs_name,
     release_local_checkpoint,
     safe_truncate,
@@ -87,60 +88,61 @@ def label_propagation(
     rnd = start_round
     prev = labels
     since_truncate = 0
-    while rnd < rounds:
-        rnd += 1
-        t0 = time.monotonic()
-        freq = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        # top-1 label per dst: max over (cnt, -label) orders by frequency
-        # then smallest label — one agg, no window sort.
-        top = freq.groupBy("dst").agg(
-            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
-        ).select("dst", (-F.col("m.neg")).alias("new_label"))
-        obs = Observation(obs_name(f"lpa_changed_{rnd}"))
-        new_labels = (
-            labels.join(top, labels["id"] == top["dst"], "left")
-            .select(
-                "id",
-                F.col("label").alias("old"),
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+    with loop_conf(spark):
+        while rnd < rounds:
+            rnd += 1
+            t0 = time.monotonic()
+            freq = (
+                sym.join(labels, sym["src"] == labels["id"])
+                .groupBy("dst", "label")
+                .agg(F.count("*").alias("cnt"))
             )
-            .observe(
-                obs,
-                F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
+            # top-1 label per dst: max over (cnt, -label) orders by frequency
+            # then smallest label — one agg, no window sort.
+            top = freq.groupBy("dst").agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+            ).select("dst", (-F.col("m.neg")).alias("new_label"))
+            obs = Observation(obs_name(f"lpa_changed_{rnd}"))
+            new_labels = (
+                labels.join(top, labels["id"] == top["dst"], "left")
+                .select(
+                    "id",
+                    F.col("label").alias("old"),
+                    F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                )
+                .observe(
+                    obs,
+                    F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
+                )
+                .select("id", "label")
+                .persist()
             )
-            .select("id", "label")
-            .persist()
-        )
-        new_labels.count()
-        changed = obs.get["changed"] or 0
-        labels = new_labels
-        if prev is not None:
-            release_local_checkpoint(prev)
-        prev = new_labels
-        since_truncate += 1
-        if since_truncate >= 5:
-            truncated = safe_truncate(spark, labels)  # see pagerank
-            labels.unpersist()
-            labels = truncated
-            prev = None
-            since_truncate = 0
-        converged = changed == 0
-        meta = {
-            "algo": "label_propagation",
-            "changed": changed,
-            "converged": converged,
-            "fingerprint": fingerprint,
-            "iter_s": round(time.monotonic() - t0, 4),
-        }
-        if metrics_out is not None:
-            metrics_out.append({"round": rnd, **meta})
-        if ckpt.enabled() and (rnd % checkpoint_interval == 0 or converged):
-            ckpt.save(rnd, labels, meta)  # durable resume point only
-        if converged:
-            break
+            new_labels.count()
+            changed = obs.get["changed"] or 0
+            labels = new_labels
+            if prev is not None:
+                release_local_checkpoint(prev)
+            prev = new_labels
+            since_truncate += 1
+            if since_truncate >= 5:
+                truncated = safe_truncate(spark, labels)  # see pagerank
+                labels.unpersist()
+                labels = truncated
+                prev = None
+                since_truncate = 0
+            converged = changed == 0
+            meta = {
+                "algo": "label_propagation",
+                "changed": changed,
+                "converged": converged,
+                "fingerprint": fingerprint,
+                "iter_s": round(time.monotonic() - t0, 4),
+            }
+            if metrics_out is not None:
+                metrics_out.append({"round": rnd, **meta})
+            if ckpt.enabled() and (rnd % checkpoint_interval == 0 or converged):
+                ckpt.save(rnd, labels, meta)  # durable resume point only
+            if converged:
+                break
     sym.unpersist()
     return labels.select("id", "label")

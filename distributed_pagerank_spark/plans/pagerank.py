@@ -43,6 +43,7 @@ from distributed_pagerank_spark.operators.degrees import (
 from distributed_pagerank_spark.operators.salting import hub_ids, salted_sum
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
+    loop_conf,
     obs_name,
     release_local_checkpoint,
     safe_truncate,
@@ -237,109 +238,110 @@ def pagerank(
     since_truncate = 0
     last_truncated = None  # strong ref across truncations (GC-race guard)
 
-    while not converged and iteration < max_iter:
-        iteration += 1
-        t0 = time.monotonic()
+    with loop_conf(spark):
+        while not converged and iteration < max_iter:
+            iteration += 1
+            t0 = time.monotonic()
 
-        ranks = state.select("id", "rank")
-        contribs = edges_w.join(ranks, edges_w["src"] == ranks["id"]).select(
-            "src", "dst", (F.col("rank") / F.col("out_degree")).alias("contrib")
-        )
-        if hubs is not None:
-            sums = salted_sum(
-                contribs, hubs, key="dst", value="contrib",
-                salt_buckets=skew_salt, salt_source="src",
+            ranks = state.select("id", "rank")
+            contribs = edges_w.join(ranks, edges_w["src"] == ranks["id"]).select(
+                "src", "dst", (F.col("rank") / F.col("out_degree")).alias("contrib")
             )
-        else:
-            sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("sum"))
+            if hubs is not None:
+                sums = salted_sum(
+                    contribs, hubs, key="dst", value="contrib",
+                    salt_buckets=skew_salt, salt_source="src",
+                )
+            else:
+                sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("sum"))
 
-        base = F.coalesce(F.col("sum"), F.lit(0.0))
-        if dangling == "redistribute":
-            base = base + F.lit(float(dang_mass) / n)
+            base = F.coalesce(F.col("sum"), F.lit(0.0))
+            if dangling == "redistribute":
+                base = base + F.lit(float(dang_mass) / n)
 
-        new_state = (
-            state.join(sums, state["id"] == sums["dst"], "left")
-            .select(
-                "id",
-                "e",
-                F.col("rank").alias("rank_old"),
-                (F.lit(c) * base + F.lit(1.0 - c) * F.col("e")).alias("rank"),
-                *state_cols[3:],
+            new_state = (
+                state.join(sums, state["id"] == sums["dst"], "left")
+                .select(
+                    "id",
+                    "e",
+                    F.col("rank").alias("rank_old"),
+                    (F.lit(c) * base + F.lit(1.0 - c) * F.col("e")).alias("rank"),
+                    *state_cols[3:],
+                )
             )
-        )
 
-        t1 = time.monotonic()
-        # ONE job per iteration: persist + count materializes the DAG while
-        # an Observation computes the L1 delta (and, in redistribute mode,
-        # the next iteration's dangling mass) as a side-effect — no second
-        # pass over the rank vector.
-        obs = Observation(obs_name(f"pagerank_delta_{iteration}"))
-        obs_aggs = [F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta")]
-        if dangling == "redistribute":
-            obs_aggs.append(
-                F.sum(F.when(F.col("dang"), F.col("rank"))).alias("dang_mass")
+            t1 = time.monotonic()
+            # ONE job per iteration: persist + count materializes the DAG while
+            # an Observation computes the L1 delta (and, in redistribute mode,
+            # the next iteration's dangling mass) as a side-effect — no second
+            # pass over the rank vector.
+            obs = Observation(obs_name(f"pagerank_delta_{iteration}"))
+            obs_aggs = [F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta")]
+            if dangling == "redistribute":
+                obs_aggs.append(
+                    F.sum(F.when(F.col("dang"), F.col("rank"))).alias("dang_mass")
+                )
+            snapshot = (
+                new_state.observe(obs, *obs_aggs)
+                .select(*state_cols)
+                .persist()
             )
-        snapshot = (
-            new_state.observe(obs, *obs_aggs)
-            .select(*state_cols)
-            .persist()
-        )
-        snapshot.count()
-        t2 = time.monotonic()
-        observed = obs.get
-        delta = observed["delta"] or 0.0
-        if dangling == "redistribute":
-            dang_mass = observed["dang_mass"] or 0.0
-        t3 = time.monotonic()
-        converged = delta <= eps
-        state = snapshot
-        # free the previous iteration's cached rank vector (handles both
-        # persisted and localCheckpoint-truncated states)
-        if prev_snapshot is not None:
-            release_local_checkpoint(prev_snapshot)
-        prev_snapshot = snapshot
-        since_truncate += 1
+            snapshot.count()
+            t2 = time.monotonic()
+            observed = obs.get
+            delta = observed["delta"] or 0.0
+            if dangling == "redistribute":
+                dang_mass = observed["dang_mass"] or 0.0
+            t3 = time.monotonic()
+            converged = delta <= eps
+            state = snapshot
+            # free the previous iteration's cached rank vector (handles both
+            # persisted and localCheckpoint-truncated states)
+            if prev_snapshot is not None:
+                release_local_checkpoint(prev_snapshot)
+            prev_snapshot = snapshot
+            since_truncate += 1
 
-        iter_metrics = {
-            "iteration": iteration,
-            "delta": delta,
-            "converged": converged,
-            "update_plan_s": round(t1 - t0, 4),
-            "materialize_s": round(t2 - t1, 4),
-            "delta_agg_s": round(t3 - t2, 4),
-        }
-        do_ckpt = ckpt.enabled() and (
-            iteration % checkpoint_interval == 0 or converged or iteration >= max_iter
-        )
-        if do_ckpt:
-            # durable snapshot (resume point); keep iterating on the cached
-            # copy — the parquet read-back is only used by resume.
-            ckpt.save(
-                iteration,
-                state,
-                {"algo": "pagerank", "delta": delta, "converged": converged,
-                 "fingerprint": fingerprint, "metrics": iter_metrics},
+            iter_metrics = {
+                "iteration": iteration,
+                "delta": delta,
+                "converged": converged,
+                "update_plan_s": round(t1 - t0, 4),
+                "materialize_s": round(t2 - t1, 4),
+                "delta_agg_s": round(t3 - t2, 4),
+            }
+            do_ckpt = ckpt.enabled() and (
+                iteration % checkpoint_interval == 0 or converged or iteration >= max_iter
             )
-        if since_truncate >= truncate_interval and not converged:
-            # cut the logical-plan chain so analyzer cost stays bounded.
-            # Reliable checkpoint (independent files, no dependence on the
-            # cache we are about to drop — localCheckpoint here would race
-            # with unpersist); rare, so the lost partitioning costs one
-            # state exchange on the following iteration only. Self-healing
-            # under foreign sessions (sets a checkpoint dir if missing).
-            truncated = safe_truncate(spark, state)
-            state.unpersist()
-            state = truncated
-            # hold the previous truncated DF until THIS truncation has
-            # materialized: with cleanCheckpoints=true its files are GC'd
-            # once unreferenced, and the new snapshot's plan may recompute
-            # through them before eager materialization completes.
-            last_truncated = truncated
-            prev_snapshot = None
-            since_truncate = 0
-            iter_metrics["truncated"] = True
-        iter_metrics["total_s"] = round(time.monotonic() - t0, 4)
-        metrics.append(iter_metrics)
+            if do_ckpt:
+                # durable snapshot (resume point); keep iterating on the cached
+                # copy — the parquet read-back is only used by resume.
+                ckpt.save(
+                    iteration,
+                    state,
+                    {"algo": "pagerank", "delta": delta, "converged": converged,
+                     "fingerprint": fingerprint, "metrics": iter_metrics},
+                )
+            if since_truncate >= truncate_interval and not converged:
+                # cut the logical-plan chain so analyzer cost stays bounded.
+                # Reliable checkpoint (independent files, no dependence on the
+                # cache we are about to drop — localCheckpoint here would race
+                # with unpersist); rare, so the lost partitioning costs one
+                # state exchange on the following iteration only. Self-healing
+                # under foreign sessions (sets a checkpoint dir if missing).
+                truncated = safe_truncate(spark, state)
+                state.unpersist()
+                state = truncated
+                # hold the previous truncated DF until THIS truncation has
+                # materialized: with cleanCheckpoints=true its files are GC'd
+                # once unreferenced, and the new snapshot's plan may recompute
+                # through them before eager materialization completes.
+                last_truncated = truncated
+                prev_snapshot = None
+                since_truncate = 0
+                iter_metrics["truncated"] = True
+            iter_metrics["total_s"] = round(time.monotonic() - t0, 4)
+            metrics.append(iter_metrics)
 
     # --- final normalization (reference: pagerank.go:38-45) ----------
     ranks = state.select("id", "rank")
