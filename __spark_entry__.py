@@ -490,7 +490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: flagship path over the BASELINE input_hint table shape
         _tune(s)
         t = synth_transcripts(s, n_convs=300, seed=42)
-        res = pagerank(s, derive_edges(t), c=0.85, eps=1e-6, max_iter=12)
+        # materialize the derivation once — pagerank scans its edge input
+        # several times (distinct, out-degrees, vertices, fingerprint)
+        edges = derive_edges(t).localCheckpoint(eager=True)
+        res = pagerank(s, edges, c=0.85, eps=1e-6, max_iter=12)
         return res.ranks.select("id", F.round("rank", 9).alias("rank"))
     q["pagerank_transcripts"] = _q_pagerank_transcripts
 

@@ -81,7 +81,8 @@ def main() -> None:
     n_convs = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}.get(sf, 100_000)
     def _transcripts():
         tr = synth_transcripts(spark, n_convs=n_convs, seed=42)
-        res = pagerank(spark, derive_edges(tr), c=0.85, eps=0.0, max_iter=5)
+        tr_edges = derive_edges(tr).localCheckpoint(eager=True)
+        res = pagerank(spark, tr_edges, c=0.85, eps=0.0, max_iter=5)
         res.ranks.count()
     run("q_pagerank_transcripts_k5", _transcripts)
 

@@ -111,6 +111,8 @@ def derive_edges(
     ``turn_idx`` ordering is the per-row invariant demanded by the
     BASELINE input_hint (tested in tests/test_transcripts.py).
     """
+    if not (reply_to or tool_invocation):
+        raise ValueError("at least one edge kind must be enabled")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     t = transcripts.select(
         "conv_id",
@@ -119,32 +121,41 @@ def derive_edges(
         "tool",
         F.xxhash64("conv_id", F.col("turn_idx").cast("int")).alias("vid"),
     )
-    parts = []
+    # Single pass: both edge kinds come out of ONE scan + ONE window node
+    # (lag/lead over the same spec collapse into one Window operator), then
+    # an array+explode emits 0-2 edges per turn. A union of two separately
+    # windowed branches would scan and shuffle the transcripts twice.
+    win_cols = []
     if reply_to:
-        prev = F.lag("vid").over(w)
-        parts.append(
-            t.withColumn("dst", prev)
-            .where(F.col("dst").isNotNull())
-            .select(F.col("vid").alias("src"), "dst")
+        win_cols.append(F.lag("vid").over(w).alias("prev_vid"))
+    if tool_invocation:
+        win_cols.append(F.lead("vid").over(w).alias("nxt_vid"))
+        win_cols.append(F.lead("role").over(w).alias("nxt_role"))
+    base = t.select("role", "tool", "vid", *win_cols)
+    kinds = []
+    if reply_to:
+        kinds.append(
+            F.when(
+                F.col("prev_vid").isNotNull(),
+                F.struct(F.col("vid").alias("src"),
+                         F.col("prev_vid").alias("dst")),
+            )
         )
     if tool_invocation:
-        nxt_vid = F.lead("vid").over(w)
-        nxt_role = F.lead("role").over(w)
-        parts.append(
-            t.withColumn("nxt_vid", nxt_vid)
-            .withColumn("nxt_role", nxt_role)
-            .where(
+        kinds.append(
+            F.when(
                 (F.col("role") == "assistant")
                 & F.col("tool").isNotNull()
-                & (F.col("nxt_role") == "tool")
+                & (F.col("nxt_role") == "tool"),
+                F.struct(F.col("vid").alias("src"),
+                         F.col("nxt_vid").alias("dst")),
             )
-            .select(F.col("vid").alias("src"), F.col("nxt_vid").alias("dst"))
         )
-    if not parts:
-        raise ValueError("at least one edge kind must be enabled")
-    edges = parts[0]
-    for p in parts[1:]:
-        edges = edges.unionByName(p)
+    edges = (
+        base.select(F.explode(F.array(*kinds)).alias("edge"))
+        .where(F.col("edge").isNotNull())
+        .select("edge.src", "edge.dst")
+    )
     if dedup:
         edges = edges.distinct()
     return edges
