@@ -46,7 +46,10 @@ from distributed_pagerank_spark.operators.similarity import (
 )
 from distributed_pagerank_spark.plans.components import connected_components
 from distributed_pagerank_spark.sources.edgelist import read_edge_list_http
-from distributed_pagerank_spark.sources.generator import random_e_vector
+from distributed_pagerank_spark.sources.generator import (
+    generate_graph,
+    random_e_vector,
+)
 from distributed_pagerank_spark.plans.labelprop import label_propagation
 from distributed_pagerank_spark.plans.pagerank import pagerank
 from distributed_pagerank_spark.plans.triangles import triangle_count
@@ -62,11 +65,25 @@ from distributed_pagerank_spark.streaming.events import (
 
 SUPP_OFFSET = 100_000  # disjoint vertex-id spaces: custkey vs suppkey
 PAGERANK_ITERS = 5
+TRANSCRIPT_PR_ITERS = 8  # fixed-k so the unrolled SQL twin does identical work
 CC_ITERS = 8
 LPA_ROUNDS = 3
+GEN_N, GEN_MAX_EDGES, GEN_SEED = 500, 5, 11  # generated_graph parameters
 EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
 NEAR_DUP_THRESHOLD = 0.4  # non-vacuous at sf0.01's cosine distribution
 JACCARD_DF_CAP = 5  # hot-shingle DF cap; bites at sf0.01 (max shingle df=7)
+DUP_OFFSET = 10_000_000  # re-keyed duplicate sample for exact-dedup check
+# the flagship query materializes its derived edge table here so the
+# DuckDB twin can read the identical bytes (the driver runs the Spark side
+# of each query before its oracle); gitignored scratch inside the repo.
+TRANSCRIPT_EDGES_PATH = "/root/repo/.cache/transcript_edges.parquet"
+
+_TUNE_CONFS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
 
 
 def _tune(spark: SparkSession) -> None:
@@ -74,16 +91,45 @@ def _tune(spark: SparkSession) -> None:
 
     The correctness driver runs these queries under ITS OWN SparkSession —
     typically with the 200-partition default, which at sf0.01 spends more
-    time scheduling empty tasks than computing. These are all mutable
-    runtime confs; setting them here is engine tuning, not session
-    ownership."""
+    time scheduling empty tasks than computing. Every query callable is
+    wrapped by :func:`_scoped`, which captures the prior values before the
+    first ``_tune`` and restores them when the callable returns — the
+    tuning covers the eager iterative work inside the query but does not
+    leak into a session this module does not own. (Still-lazy results
+    execute under the caller's own confs; with Spark's default AQE that is
+    correct and adequately fast.)"""
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        for k, v in _TUNE_CONFS.items():
+            spark.conf.set(k, v)
     except Exception:
         pass
+
+
+def _scoped(fn):
+    """Wrap a query callable: tune the session for its duration, then
+    restore the caller's prior conf values (unset keys are re-unset)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prior = {}
+        for k in _TUNE_CONFS:
+            try:
+                prior[k] = spark.conf.get(k, None)
+            except Exception:
+                prior[k] = None
+        _tune(spark)
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            for k, v in prior.items():
+                try:
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+                except Exception:
+                    pass
+
+    return wrapped
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -138,11 +184,16 @@ def _supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql(
-    k: int = PAGERANK_ITERS, c: float = 0.85, e_seed: int | None = None
+    k: int = PAGERANK_ITERS,
+    c: float = 0.85,
+    e_seed: int | None = None,
+    edges_cte: str = _EDGES_CTE,
 ) -> str:
     """Unrolled k-iteration PageRank twin. ``e_seed`` switches the E term
     from uniform 1/|V| to the seeded md5-hash personalization vector
-    (normalized to sum 1), twin of random_e_vector(hash_fn='md5')."""
+    (normalized to sum 1), twin of random_e_vector(hash_fn='md5').
+    ``edges_cte`` swaps the edge source (default: the TPC-H derived graph;
+    the flagship passes a read_parquet CTE over its materialized edges)."""
     if e_seed is None:
         e_cte = ""
         e_term = "1.0 / (SELECT n FROM nn)"
@@ -167,13 +218,37 @@ ev AS (SELECT id, er / (SELECT sum(er) FROM eraw) AS e FROM eraw)"""
   ) s ON v.id = s.id
 )""")
         prev = f"r{i}"
-    return f"""WITH {_EDGES_CTE},
+    return f"""WITH {edges_cte},
 {_VERTS_CTE},
 deg AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src),
 nn AS (SELECT count(*) AS n FROM verts){e_cte},
 r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
 {",".join(iters)}
 SELECT id, round(rank / (SELECT sum(rank) FROM {prev}), 6) AS rank FROM {prev}"""
+
+
+_TRANSCRIPT_EDGES_CTE = (
+    f"edges AS (SELECT src, dst FROM "
+    f"read_parquet('{TRANSCRIPT_EDGES_PATH}/*.parquet'))"
+)
+
+
+def _gen_graph_sql(n: int, max_edges: int, seed: int) -> str:
+    """Exact twin of generate_graph(hash_fn='md5'): k ~ 1 + h(src) %
+    max_edges random targets per vertex (self-loops re-aimed at
+    (dst+1) % n) plus the u-1 → u connectivity chain, deduped."""
+    h_k = hash60_md5_sql("src::VARCHAR", seed)
+    h_dst = hash60_md5_sql("src::VARCHAR || '|' || j::VARCHAR", seed + 1)
+    return f"""WITH v AS (SELECT range AS src FROM range(0, {n})),
+kk AS (SELECT src, 1 + ({h_k}) % {max_edges} AS k FROM v),
+r AS (SELECT src, unnest(generate_series(1, k)) AS j FROM kk),
+d AS (SELECT src, ({h_dst}) % {n} AS dst FROM r),
+d2 AS (SELECT src,
+              CASE WHEN dst = src THEN (dst + 1) % {n} ELSE dst END AS dst
+       FROM d),
+chain AS (SELECT range - 1 AS src, range AS dst FROM range(1, {n}))
+SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst
+FROM (SELECT * FROM d2 UNION ALL SELECT * FROM chain)"""
 
 
 def _cc_sql(k: int = CC_ITERS) -> str:
@@ -487,14 +562,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_k5_salted"] = _q_pagerank_salted
 
     def _q_pagerank_transcripts(s, d):
-        # rows-only: flagship path over the BASELINE input_hint table shape
-        _tune(s)
+        # Flagship path over the BASELINE input_hint table shape, now
+        # hash-verified: the derived edge table is materialized to a
+        # deterministic parquet path (an eager action — pagerank then
+        # scans the files once, and no cached state leaks into the
+        # caller's session), and the DuckDB twin runs an unrolled
+        # fixed-k PageRank over read_parquet() of those same bytes.
         t = synth_transcripts(s, n_convs=300, seed=42)
-        # materialize the derivation once — pagerank scans its edge input
-        # several times (distinct, out-degrees, vertices, fingerprint)
-        edges = derive_edges(t).localCheckpoint(eager=True)
-        res = pagerank(s, edges, c=0.85, eps=1e-6, max_iter=12)
-        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+        derive_edges(t).write.mode("overwrite").parquet(TRANSCRIPT_EDGES_PATH)
+        edges = s.read.parquet(TRANSCRIPT_EDGES_PATH)
+        res = pagerank(s, edges, c=0.85, eps=0.0, max_iter=TRANSCRIPT_PR_ITERS)
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
     q["pagerank_transcripts"] = _q_pagerank_transcripts
 
     def _q_pagerank_seeded_e(s, d):
@@ -510,6 +588,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = pagerank(s, edges, c=0.85, eps=0.0, max_iter=PAGERANK_ITERS, e=e)
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
     q["pagerank_seeded_e"] = _q_pagerank_seeded_e
+
+    # seeded random-graph generator (reference Generate, graph.go:101-166)
+    # in md5-hash mode so the chain + hash-mod arithmetic has an exact
+    # ANSI-SQL twin — closes SURVEY §2 row S3 at the driver level.
+    q["generated_graph"] = lambda s, d: generate_graph(
+        s, n=GEN_N, max_edges=GEN_MAX_EDGES, seed=GEN_SEED, hash_fn="md5"
+    )
 
     def _q_edgelist_http(s, d):
         # reference LoadGraphResource parity (graph.go:19-33): serve the
@@ -539,8 +624,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return edges.orderBy("src", "dst")
     q["edgelist_http"] = _q_edgelist_http
 
+    # the oracle twin unrolls exactly CC_ITERS hash-min exchanges, so this
+    # entry pins algorithm='hashmin' (the engine default is 'pointer',
+    # which reaches the same fixpoint in O(log d) rounds — pytest-covered)
     q["connected_components"] = lambda s, d: connected_components(
-        s, _graph_edges(s, d), max_iter=CC_ITERS
+        s, _graph_edges(s, d), max_iter=CC_ITERS, algorithm="hashmin"
     )
 
     q["label_propagation_k3"] = lambda s, d: label_propagation(
@@ -597,9 +685,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- dedup ---------------------------------------------------------
-    q["dedup_exact_groups"] = lambda s, d: exact_duplicates(
-        _t(s, d, "documents")
-    ).select("fingerprint", "n_docs", "keep_id")
+    def _q_dedup_exact(s, d):
+        # the sf0.01 documents table has no exact duplicates, which made
+        # this check vacuous (both engines agreeing on zero rows); union in
+        # a re-keyed sample of the table so the groupBy provably collapses
+        # real duplicate text — identically in the SQL twin.
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        rekeyed = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+        )
+        return exact_duplicates(docs.unionByName(rekeyed)).select(
+            "fingerprint", "n_docs", "keep_id"
+        )
+    q["dedup_exact_groups"] = _q_dedup_exact
 
     q["dedup_jaccard_pairs"] = lambda s, d: jaccard_pairs(
         _t(s, d, "documents"), threshold=0.5
@@ -706,7 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["events_sessionize"] = _q_sessions
 
-    return q
+    # every callable gets conf-scoped tuning: priors restored on return
+    return {name: _scoped(fn) for name, fn in q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -717,6 +816,12 @@ SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src""",
         "pagerank_k5": _pagerank_sql(),
         "pagerank_k5_salted": _pagerank_sql(),
         "pagerank_seeded_e": _pagerank_sql(e_seed=7),
+        # flagship: unrolled fixed-k PageRank over the parquet edge table
+        # the Spark query materialized (the driver runs Spark first)
+        "pagerank_transcripts": _pagerank_sql(
+            k=TRANSCRIPT_PR_ITERS, edges_cte=_TRANSCRIPT_EDGES_CTE
+        ),
+        "generated_graph": _gen_graph_sql(GEN_N, GEN_MAX_EDGES, GEN_SEED),
         "edgelist_http": r"""WITH raw AS (
   SELECT unnest(string_split(content, chr(10))) AS l
   FROM read_text('/root/repo/tests/fixtures/web_edges.txt')
@@ -752,8 +857,14 @@ GROUP BY l_returnflag, l_linestatus""",
         "doc_lang_id": f"SELECT doc_id, {_lang_sql_expr()} AS pred_lang FROM documents",
         "doc_quality": f"SELECT doc_id, round({_quality_sql_expr()}, 6) AS quality FROM documents",
         "doc_fingerprint": f"SELECT doc_id, {_FINGERPRINT_SQL_EXPR} AS fingerprint FROM documents",
-        "dedup_exact_groups": f"""SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM (SELECT doc_id, {_FINGERPRINT_SQL_EXPR} AS fp FROM documents)
+        "dedup_exact_groups": f"""WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+)
+SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM (SELECT doc_id, {_FINGERPRINT_SQL_EXPR} AS fp FROM docs)
 GROUP BY fp HAVING count(*) > 1""",
         "dedup_jaccard_pairs": _jaccard_sql(0.5),
         "dedup_jaccard_capped": _jaccard_sql(0.5, df_cap=JACCARD_DF_CAP),

@@ -109,24 +109,26 @@ def jaccard_pairs(
     on one join key, so one stopword n-gram appearing in 10^5 docs would
     emit 10^10 rows. With the cap, hot shingles are dropped from the
     UNIVERSE (both intersection and sizes), i.e. the result is the exact
-    Jaccard over the capped shingle set — the standard scale guard. The
-    number of dropped shingles is printed to the driver log. Uncapped
-    (None) is the small-scale oracle tier only.
+    Jaccard over the capped shingle set — the standard scale guard.
+    Uncapped (None) is the small-scale oracle tier only.
     """
-    idx = shingle_index(df, id_col, text_col, n)
+    # Persist the raw index FIRST: the DF cap, the sizes agg, and both
+    # sides of the self-join all read from this one cache, so the document
+    # table is scanned exactly once regardless of the cap. (Round-2 shape
+    # rebuilt the index for the DF computation and again for the capped
+    # join — a double scan that 2.5×'d the sf0.1 benchmark.)
+    raw_idx = shingle_index(df, id_col, text_col, n).persist()
+    idx = raw_idx
     if max_shingle_df is not None:
-        dfreq = idx.groupBy("shingle").agg(F.count("*").alias("df"))
-        hot = dfreq.where(F.col("df") > max_shingle_df)
-        n_hot = hot.count()
-        if n_hot:
-            print(
-                f"jaccard_pairs: dropping {n_hot} shingles with "
-                f"document frequency > {max_shingle_df}"
-            )
-        idx = idx.join(
-            F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+        hot = (
+            raw_idx.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
         )
-    idx = idx.persist()
+        # no eager count job for a log line — the cap's cost is one agg
+        # over the cached index plus a broadcast anti-join
+        idx = raw_idx.join(F.broadcast(hot), "shingle", "left_anti").persist()
     sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = idx.withColumnRenamed("id", "id_a")
     b = idx.withColumnRenamed("id", "id_b")
@@ -148,6 +150,8 @@ def jaccard_pairs(
     )
     res = out.localCheckpoint(eager=True)
     idx.unpersist()
+    if idx is not raw_idx:
+        raw_idx.unpersist()
     return res
 
 

@@ -16,8 +16,8 @@ Two algorithms, identical output:
 
 - ``algorithm='hashmin'`` — the plain exchange above: O(diameter)
   rounds. Fine for shallow graphs (conversation chains of ≤12 turns),
-  and the SQL-twinnable oracle tier.
-- ``algorithm='pointer'`` — hash-min + pointer jumping (shortcutting):
+  and the SQL-twinnable oracle tier (fixed-iteration unrolled twin).
+- ``algorithm='pointer'`` (DEFAULT) — hash-min + pointer jumping:
   each round additionally folds in ``label(label(v))`` via a self-join
   of the label vector, halving pointer-chain depth per round →
   O(log diameter) rounds. Labels only ever decrease and always name a
@@ -57,7 +57,7 @@ def connected_components(
     resume: bool = True,
     num_partitions: int | None = None,
     metrics_out: list[dict[str, Any]] | None = None,
-    algorithm: str = "hashmin",
+    algorithm: str = "pointer",
 ) -> DataFrame:
     """→ ``(id long, component long)`` at fixpoint."""
     if algorithm not in ("hashmin", "pointer"):

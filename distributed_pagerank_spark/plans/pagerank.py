@@ -64,13 +64,33 @@ def _prepare_edges(
     edges: DataFrame,
     dup_policy: str,
     num_partitions: int,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Static per-run edge product: (src, dst, out_degree), partitioned by
     src and persisted. The in-link side dedups duplicates in both policies
     (the reference stores in-links in a map, collapsing dups); the
-    out-degree side depends on dup_policy (SURVEY §2.1 S4 quirk)."""
-    deg = out_degrees(edges, dup_policy)
-    e = edges.distinct()
+    out-degree side depends on dup_policy (SURVEY §2.1 S4 quirk).
+
+    The raw edge input is scanned EXACTLY ONCE per run: a single
+    ``groupBy(src, dst)`` produces the distinct edge set *and* the
+    duplicate multiplicities, and everything else — out-degrees under
+    either policy, the vertex set, and the edge ⋈ degree product — derives
+    from that cached aggregate. At 100 TB the input scan is the dominant
+    startup cost, so re-reading it per derived artifact (the round-2 shape:
+    distinct + degrees + vertices = 4 scans) is not acceptable.
+
+    Returns ``(edge_product, vertices, cached_distinct_edges)``; the caller
+    unpersists the third once the vertex-derived state is materialized.
+    """
+    ecnt = (
+        edges.groupBy("src", "dst")
+        .agg(F.count("*").alias("__cnt"))
+        .persist()
+    )
+    deg_agg = F.sum("__cnt") if dup_policy == "reference" else F.count("*")
+    deg = ecnt.groupBy(F.col("src").alias("id")).agg(
+        deg_agg.cast("long").alias("out_degree")
+    )
+    e = ecnt.select("src", "dst")
     ew = (
         e.join(deg, e["src"] == deg["id"])
         .select("src", "dst", "out_degree")
@@ -78,8 +98,9 @@ def _prepare_edges(
         .sortWithinPartitions("src")  # CSR-style: sort-merge joins skip the
         .persist()                    # per-iteration sort of the edge side
     )
-    ew.count()  # materialize so iterations reuse the layout
-    return ew
+    ew.count()  # materialize (fills the ecnt cache in the same job)
+    verts = vertices_from_edges(e)  # reads the cache, not the raw input
+    return ew, verts, ecnt
 
 
 def pagerank(
@@ -114,8 +135,9 @@ def pagerank(
     )
     ckpt = CheckpointManager(spark, checkpoint_dir)
 
-    edges_w = _prepare_edges(spark, edges, dup_policy, num_partitions)
-    verts = vertices_from_edges(edges)
+    edges_w, verts, edges_cached = _prepare_edges(
+        spark, edges, dup_policy, num_partitions
+    )
 
     # Resume safety: a checkpoint directory is only valid for the same
     # (graph, parameters) job. Fingerprint = order-insensitive hash of the
@@ -189,6 +211,7 @@ def pagerank(
                             "rank", F.col("rank") / F.lit(float(total))
                         )
                     edges_w.unpersist()
+                    edges_cached.unpersist()
                     return PageRankResult(ranks, it, last_delta, True)
             # mismatched fingerprint: stale dir from another job — start fresh
     if state is None:
@@ -203,6 +226,9 @@ def pagerank(
     # it), so per-iteration exchanges touch only the contribution stream.
     state = state.repartition(num_partitions, "id").persist()
     n = state.count()
+    # the vertex set (and anything else derived from the raw input) is now
+    # baked into cached state/edge-product DFs — drop the distinct-edge cache
+    edges_cached.unpersist()
 
     # dangling mass of the CURRENT state; seeded once here, then updated
     # for free each iteration by the Observation on the materializing job.

@@ -26,24 +26,33 @@ def generate_graph(
     max_edges: int = 5,
     seed: int = 42,
     n_partitions: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Generate ``edges(src long, dst long)`` for a seeded random graph."""
+    """Generate ``edges(src long, dst long)`` for a seeded random graph.
+
+    ``hash_fn='md5'`` swaps the per-cell hash for the cross-engine 60-bit
+    md5 hash (operators.dedup.hash60_md5), making the generated edge set
+    exactly reproducible in ANSI SQL — the oracle tier. ``'xxhash64'``
+    (default) is the fast JVM-side production path.
+    """
     if n < 2:
         raise ValueError("need at least 2 vertices")
+    if hash_fn == "md5":
+        from distributed_pagerank_spark.operators.dedup import hash60_md5
+
+        h_k = hash60_md5(F.col("src").cast("string"), seed)
+        h_dst = hash60_md5(F.concat_ws("|", F.col("src"), F.col("j")), seed + 1)
+    elif hash_fn == "xxhash64":
+        h_k = F.xxhash64("src", F.lit(seed))
+        h_dst = F.xxhash64("src", "j", F.lit(seed + 1))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     v = spark.range(n, numPartitions=n_partitions).withColumnRenamed("id", "src")
     # k ~ U[1, max_edges]
-    v = v.withColumn(
-        "k",
-        (F.lit(1) + F.pmod(F.xxhash64("src", F.lit(seed)), F.lit(max_edges))).cast(
-            "int"
-        ),
-    )
+    v = v.withColumn("k", (F.lit(1) + F.pmod(h_k, F.lit(max_edges))).cast("int"))
     rand_edges = v.select(
         "src", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("j")
-    ).select(
-        "src",
-        F.pmod(F.xxhash64("src", "j", F.lit(seed + 1)), F.lit(n)).alias("dst"),
-    )
+    ).select("src", F.pmod(h_dst, F.lit(n)).alias("dst"))
     # exclude self-loops like the reference generator (graph.go:110-112):
     # re-aim a self-loop at (dst+1) mod n instead of rejecting, to stay
     # sample-free and deterministic.

@@ -88,15 +88,15 @@ def test_components_pointer_matches_hashmin(spark):
     assert a == b
 
 
-def test_components_pointer_logarithmic_on_chain(spark):
+def test_components_default_is_pointer_logarithmic_on_chain(spark):
     """A length-n chain needs ~n hash-min rounds but O(log n) with pointer
-    jumping — the 100 TB path for long-diameter graphs."""
+    jumping — the 100 TB path for long-diameter graphs, and the DEFAULT
+    (no algorithm argument) as of round 3."""
     import math as m
     n = 1024
     metrics = []
     out = connected_components(
-        spark, edges_df(spark, chain_edges(n)), algorithm="pointer",
-        metrics_out=metrics,
+        spark, edges_df(spark, chain_edges(n)), metrics_out=metrics,
     )
     assert out.where("component != 0").count() == 0  # one component, min id 0
     iters = len(metrics)

@@ -187,3 +187,25 @@ def test_resume_different_e_restarts(spark, tmp_path):
     got = {x["id"]: x["rank"] for x in r2.ranks.collect()}
     want = {x["id"]: x["rank"] for x in fresh.ranks.collect()}
     assert_close(got, want, tol=1e-12)
+
+
+def test_single_scan_of_raw_edge_input(spark):
+    """The raw edge input is evaluated EXACTLY ONCE per pagerank run: one
+    groupBy(src, dst) derives the distinct edges, out-degrees, and vertex
+    set from a shared cache. At 100 TB the input scan is the dominant
+    startup cost — the round-2 shape read it 4×. Counted via a per-
+    partition accumulator on a 1-partition RDD-backed input."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        acc.add(1)
+        return it
+
+    pairs = ALL_FIXTURES["triangle_plus"] + [(0, 1), (0, 1)]  # with dups
+    rdd = spark.sparkContext.parallelize(
+        [(int(s), int(d)) for s, d in pairs], 1
+    ).mapPartitions(counting)
+    edges = spark.createDataFrame(rdd, "src long, dst long")
+    res = pagerank(spark, edges, c=C, eps=0.0, max_iter=3)
+    res.ranks.collect()
+    assert acc.value == 1, f"raw edge input scanned {acc.value}× (want 1)"

@@ -72,7 +72,9 @@ def generate_once() -> None:
     gateway JVM alive (child of this process) and it has been observed
     spinning at several cores afterwards — a subprocess exit guarantees
     the JVM is gone before the first measured leg."""
-    if os.path.exists(EDGES_PATH):
+    # a directory without the _SUCCESS marker is a partial write from a
+    # killed generation run — regenerate (mode=overwrite replaces it)
+    if os.path.exists(os.path.join(EDGES_PATH, "_SUCCESS")):
         return
     if "--generate" in sys.argv:
         sys.path.insert(0, "/root/repo")
@@ -139,20 +141,21 @@ def _measure_phases(spark, edges, parts) -> dict:
     """Per-phase breakdown (outside the timed loop, same plan shape)."""
     from pyspark.sql import functions as F
 
-    from distributed_pagerank_spark.operators.degrees import (
-        out_degrees,
-        vertices_from_edges,
-    )
+    from distributed_pagerank_spark.operators.degrees import vertices_from_edges
 
-    deg = out_degrees(edges, "distinct")
-    e = edges.distinct()
+    # same single-scan prepare shape as plans.pagerank._prepare_edges
+    ecnt = edges.groupBy("src", "dst").agg(F.count("*").alias("__cnt")).persist()
+    deg = ecnt.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("out_degree")
+    )
+    e = ecnt.select("src", "dst")
     ew = (
         e.join(deg, e["src"] == deg["id"])
         .select("src", "dst", "out_degree")
         .repartition(parts, "src").sortWithinPartitions("src").persist()
     )
     ew.count()
-    verts = vertices_from_edges(edges)
+    verts = vertices_from_edges(e)
     n = verts.count()
     state = (
         verts.withColumn("e", F.lit(1.0 / n))
@@ -160,6 +163,7 @@ def _measure_phases(spark, edges, parts) -> dict:
         .repartition(parts, "id").persist()
     )
     state.count()
+    ecnt.unpersist()
     ranks = state.select("id", "rank")
     contribs = ew.join(ranks, ew["src"] == ranks["id"]).select(
         "src", "dst", (F.col("rank") / F.col("out_degree")).alias("contrib")
@@ -205,7 +209,19 @@ def main() -> None:
         return
     samples: dict[int, dict] = {}
     seen_levels: set[int] = set()
+    max_load = float(os.environ.get("SCALING_MAX_LOAD", "0"))
     for run_i, cores in enumerate(SEQUENCE):
+        if max_load > 0:
+            # least-load scheduling: start a leg only in a quiet window so
+            # host jitter from co-tenants stops inflating one level's
+            # samples. Bounded wait — after 20 min, run anyway.
+            waited = 0.0
+            while os.getloadavg()[0] > max_load and waited < 1200:
+                time.sleep(15)
+                waited += 15
+            if waited:
+                print(f"# leg {run_i}: waited {waited:.0f}s for load "
+                      f"{os.getloadavg()[0]:.1f} <= {max_load}", flush=True)
         # the phase breakdown (_timed × reps) costs several minutes per
         # 8-core leg at full size; measure it on the first leg per level
         # only — iteration samples are what the pooled stats need.
@@ -264,19 +280,26 @@ def main() -> None:
             "iters_per_hour_min": round(3600.0 / steady[0], 1),
             "iters_per_hour_amortized": round(3600.0 * n_iters / total, 1),
         }
-    lo, hi = result["levels"]["8"], result["levels"]["32"]
-    result["efficiency_steady"] = round(
-        (hi["iters_per_hour_steady"] / lo["iters_per_hour_steady"]) / 4.0, 3
-    )
-    result["efficiency_min"] = round(
-        (hi["iters_per_hour_min"] / lo["iters_per_hour_min"]) / 4.0, 3
-    )
-    result["efficiency_p25"] = round(
-        (lo["p25_steady_iter_s"] / hi["p25_steady_iter_s"]) / 4.0, 3
-    )
-    result["efficiency_amortized"] = round(
-        (hi["iters_per_hour_amortized"] / lo["iters_per_hour_amortized"]) / 4.0, 3
-    )
+    # derive lo/hi from the levels actually run (SCALING_SEQUENCE is
+    # env-overridable; hardcoding 8/32 crashed on any other sequence)
+    levels = sorted(samples)
+    if len(levels) >= 2:
+        lo, hi = result["levels"][str(levels[0])], result["levels"][str(levels[-1])]
+        factor = levels[-1] / levels[0]
+        result["scale_factor"] = factor
+        result["efficiency_steady"] = round(
+            (hi["iters_per_hour_steady"] / lo["iters_per_hour_steady"]) / factor, 3
+        )
+        result["efficiency_min"] = round(
+            (hi["iters_per_hour_min"] / lo["iters_per_hour_min"]) / factor, 3
+        )
+        result["efficiency_p25"] = round(
+            (lo["p25_steady_iter_s"] / hi["p25_steady_iter_s"]) / factor, 3
+        )
+        result["efficiency_amortized"] = round(
+            (hi["iters_per_hour_amortized"] / lo["iters_per_hour_amortized"])
+            / factor, 3
+        )
     print(json.dumps({k: v for k, v in result.items() if k != "levels"}))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/scaling_result.json", "w") as f:
