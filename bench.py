@@ -115,6 +115,44 @@ def main() -> None:
     run("q_events_sessionize", lambda: sessionize(
         t("events"), tiebreak_col="event_id").count())
 
+    def _sessionize_stream():
+        # micro-batch throughput of the stateful streaming sessionizer:
+        # the whole sf events table through applyInPandasWithState,
+        # noop sink (no sink cost in the number)
+        import shutil
+        import tempfile
+
+        from distributed_pagerank_spark.streaming.events import (
+            sessionize_stream,
+            stream_events_from_parquet,
+        )
+
+        ckpt = tempfile.mkdtemp(prefix="dps-bench-stream-")
+        try:
+            # FileStreamSource needs a directory; the testdata table is a
+            # single file — stage a symlink (zero-copy)
+            srcdir = os.path.join(ckpt, "events_dir")
+            os.makedirs(srcdir)
+            os.symlink(
+                os.path.abspath(f"{sf_dir}/events.parquet"),
+                os.path.join(srcdir, "events.parquet"),
+            )
+            src = stream_events_from_parquet(spark, srcdir)
+            out = sessionize_stream(src, gap_minutes=30)
+            sq = (
+                out.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    run("q_events_sessionize_stream", _sessionize_stream)
+
     def _q1():
         li = t("lineitem")
         (li.where(F.col("l_shipdate") <= "1998-09-02")
