@@ -236,7 +236,14 @@ def main() -> None:
             capture_output=True, text=True, timeout=7200, cwd="/root/repo",
             env=env,
         )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        json_lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not json_lines:
+            print(f"# worker leg {run_i} (cores={cores}) produced no result; "
+                  f"rc={out.returncode}", flush=True)
+            print("# stderr tail:\n" + "\n".join(out.stderr.splitlines()[-30:]),
+                  flush=True)
+            raise RuntimeError(f"worker leg {run_i} failed")
+        line = json_lines[-1]
         r = json.loads(line)
         print(line, flush=True)
         s = samples.setdefault(cores, {
