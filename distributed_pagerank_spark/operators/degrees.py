@@ -18,12 +18,14 @@ from pyspark.sql import functions as F
 
 
 def vertices_from_edges(edges: DataFrame) -> DataFrame:
-    """All vertex ids appearing as src or dst → ``(id long)``."""
-    return (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    """All vertex ids appearing as src or dst → ``(id long)``.
+
+    Explode, not a union of two selects: a union evaluates ``edges``
+    twice, which doubles the raw-input scan when the input is not cached —
+    at 100 TB the scan is the cost."""
+    return edges.select(
+        F.explode(F.array("src", "dst")).alias("id")
+    ).distinct()
 
 
 def out_degrees(edges: DataFrame, dup_policy: str = "distinct") -> DataFrame:
@@ -42,8 +44,16 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view: each edge in both directions, deduped, no self-loops.
 
     Used by connected components, label propagation, triangle counting.
+    Single-scan shape: one explode emits both directions per input row
+    (the union-of-two-selects equivalent reads the input twice per
+    evaluation — a 2× raw scan on uncached 100 TB inputs).
     """
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return sym.where(F.col("src") != F.col("dst")).distinct()
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return both.where(F.col("src") != F.col("dst")).distinct()

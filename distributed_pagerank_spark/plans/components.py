@@ -66,8 +66,12 @@ def connected_components(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ckpt = CheckpointManager(spark, checkpoint_dir)
+    # one scan of the raw input: the 2-column projection is cached and the
+    # symmetrized table AND the vertex set (which must keep self-loop-only
+    # vertices that symmetrize drops) both derive from it
+    raw = edges.select("src", "dst").persist()
     sym = (
-        symmetrize(edges)
+        symmetrize(raw)
         .repartition(num_partitions, "src")
         .sortWithinPartitions("src")
         .persist()
@@ -94,14 +98,16 @@ def connected_components(
                 start_iter, labels = it, st
                 if manifest.get("converged"):
                     sym.unpersist()
+                    raw.unpersist()
                     return labels.select("id", "component")
             # stale dir from a different graph: start fresh
     if labels is None:
-        labels = vertices_from_edges(edges).select(
+        labels = vertices_from_edges(raw).select(
             "id", F.col("id").alias("component")
         )
     labels = labels.repartition(num_partitions, "id").persist()
     labels.count()
+    raw.unpersist()
 
     iteration = start_iter
     prev = labels

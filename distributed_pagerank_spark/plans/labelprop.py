@@ -49,8 +49,11 @@ def label_propagation(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ckpt = CheckpointManager(spark, checkpoint_dir)
+    # one scan of the raw input (see components.py): sym + vertex set both
+    # derive from the cached 2-column projection
+    raw = edges.select("src", "dst").persist()
     sym = (
-        symmetrize(edges)
+        symmetrize(raw)
         .repartition(num_partitions, "src")
         .sortWithinPartitions("src")
         .persist()
@@ -76,14 +79,16 @@ def label_propagation(
                 start_round, labels = it, st
                 if manifest.get("converged") or start_round >= rounds:
                     sym.unpersist()
+                    raw.unpersist()
                     return labels.select("id", "label")
             # stale dir from a different graph: start fresh
     if labels is None:
-        labels = vertices_from_edges(edges).select(
+        labels = vertices_from_edges(raw).select(
             "id", F.col("id").alias("label")
         )
     labels = labels.repartition(num_partitions, "id").persist()
     labels.count()
+    raw.unpersist()
 
     rnd = start_round
     prev = labels

@@ -21,12 +21,15 @@ from pyspark.sql import functions as F
 from distributed_pagerank_spark.operators.degrees import symmetrize
 
 
-def oriented_edges(edges: DataFrame) -> DataFrame:
+def oriented_edges(edges: DataFrame, _sym: DataFrame | None = None) -> DataFrame:
     """Undirected simple edges oriented low-(degree,id) → high-(degree,id).
 
-    Output ``(a, b)`` — each undirected edge exactly once.
+    Output ``(a, b)`` — each undirected edge exactly once. ``_sym`` lets a
+    caller that already holds a cached symmetrized table (triangle_count)
+    pass it in, so the degree agg and the orientation join share one scan
+    instead of re-symmetrizing the raw input for each.
     """
-    sym = symmetrize(edges)
+    sym = _sym if _sym is not None else symmetrize(edges)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     e = (
         sym.join(deg.withColumnRenamed("deg", "deg_src"), sym["src"] == deg["id"])
@@ -45,8 +48,13 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
 
 def triangle_count(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """→ single-row ``(triangles long)``."""
-    o = oriented_edges(edges).persist()
+    # cache the symmetrized table: the degree agg and the orientation join
+    # both read it, so the raw input is scanned once (symmetrize itself is
+    # a single-scan explode) instead of 4× in the uncached shape
+    sym = symmetrize(edges).persist()
+    o = oriented_edges(edges, _sym=sym).persist()
     o.count()
+    sym.unpersist()
     x, y = o.alias("x"), o.alias("y")
     wedges = x.join(y, F.col("x.b") == F.col("y.a")).select(
         F.col("x.a").alias("a"), F.col("y.b").alias("c")

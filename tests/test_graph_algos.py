@@ -101,3 +101,45 @@ def test_components_default_is_pointer_logarithmic_on_chain(spark):
     assert out.where("component != 0").count() == 0  # one component, min id 0
     iters = len(metrics)
     assert iters <= m.ceil(m.log2(n)) + 4, iters  # 10 + slack, vs 1023 hash-min
+
+
+def _counting_edges(spark, pairs):
+    """1-partition RDD-backed edge DF whose accumulator counts evaluations
+    of the raw input — the scan-count probe (see test_pagerank.py)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        acc.add(1)
+        return it
+
+    rdd = spark.sparkContext.parallelize(
+        [(int(s), int(d)) for s, d in pairs], 1
+    ).mapPartitions(counting)
+    return spark.createDataFrame(rdd, "src long, dst long"), acc
+
+
+@pytest.mark.parametrize("algo", ["cc", "lpa", "triangles"])
+def test_single_scan_of_raw_edge_input(spark, algo):
+    """CC / LPA / triangle count each evaluate the raw edge input exactly
+    once: the symmetrized table, vertex set, and degree agg all derive from
+    one cached projection (the round-2 shapes re-scanned the input 2-4×
+    via union-based symmetrize / vertices)."""
+    pairs = ALL_FIXTURES["triangle_plus"] + [(9, 9)]  # incl. a self-loop
+    edges, acc = _counting_edges(spark, pairs)
+    if algo == "cc":
+        out = connected_components(spark, edges)
+    elif algo == "lpa":
+        out = label_propagation(spark, edges, rounds=3)
+    else:
+        out = triangle_count(spark, edges)
+    out.collect()
+    assert acc.value == 1, f"raw edge input scanned {acc.value}x (want 1)"
+
+
+def test_components_keeps_self_loop_only_vertices(spark):
+    """A vertex whose only edge is a self-loop must still appear in the CC
+    output (symmetrize drops self-loops; the vertex set must not)."""
+    pairs = [(0, 1), (7, 7)]
+    got = {r["id"]: r["component"] for r in
+           connected_components(spark, edges_df(spark, pairs)).collect()}
+    assert got == {0: 0, 1: 0, 7: 7}
