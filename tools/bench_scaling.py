@@ -56,6 +56,23 @@ EDGES_PATH = os.environ.get(
 )
 
 
+def _clean_stale_shm() -> None:
+    """tmpfs scratch from OOM-killed / crashed JVMs (shuffle files under
+    spark.local.dir, truncation checkpoints) is RAM: 80 GB of orphans once
+    OOM-killed a 48g worker leg. Between legs every JVM is fresh, so when
+    no java process is alive the scratch dirs are provably stale — wipe
+    them."""
+    import shutil
+    import subprocess as sp
+
+    if sp.run(["pgrep", "java"], capture_output=True).returncode == 0:
+        return  # a live JVM may own files in there — leave it alone
+    for d in ("/dev/shm/spark-local", "/dev/shm/dps-rdd-checkpoints"):
+        if os.path.isdir(d):
+            for entry in os.listdir(d):
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+
+
 def _timed(fn, reps=3):
     out = []
     for _ in range(reps):
@@ -211,6 +228,7 @@ def main() -> None:
     seen_levels: set[int] = set()
     max_load = float(os.environ.get("SCALING_MAX_LOAD", "0"))
     for run_i, cores in enumerate(SEQUENCE):
+        _clean_stale_shm()
         if max_load > 0:
             # least-load scheduling: start a leg only in a quiet window so
             # host jitter from co-tenants stops inflating one level's
