@@ -86,7 +86,13 @@ def label_propagation(
         labels = vertices_from_edges(raw).select(
             "id", F.col("id").alias("label")
         )
-    labels = labels.repartition(num_partitions, "id").persist()
+    # id-sorted like the edge table: per-round sort-merge joins skip the
+    # label-side Sort (see pagerank.py)
+    labels = (
+        labels.repartition(num_partitions, "id")
+        .sortWithinPartitions("id")
+        .persist()
+    )
     labels.count()
     raw.unpersist()
 

@@ -224,7 +224,15 @@ def pagerank(
     # co-partition the state with the edge table's layout and pin it;
     # the iteration chain keeps this partitioning (join outputs inherit
     # it), so per-iteration exchanges touch only the contribution stream.
-    state = state.repartition(num_partitions, "id").persist()
+    # Sorted within partitions like the edge product: the scatter and
+    # update sort-merge joins then skip their per-iteration Sort of the
+    # state side (the SMJ output stays id-sorted, so chained snapshots
+    # inherit the ordering for free).
+    state = (
+        state.repartition(num_partitions, "id")
+        .sortWithinPartitions("id")
+        .persist()
+    )
     n = state.count()
     # the vertex set (and anything else derived from the raw input) is now
     # baked into cached state/edge-product DFs — drop the distinct-edge cache

@@ -1,0 +1,168 @@
+"""Physical-plan audits: pin the Catalyst properties the 100 TB design
+depends on, so a regression that silently de-optimizes a plan (lost
+pushdown, lost pruning, a surprise cartesian product, a broadcast that
+stopped broadcasting) fails CI instead of only showing up in bench drift.
+
+These assert on ``explain('formatted')`` / queryExecution text at sf0.001 —
+plan shape is scale-invariant even though the data is tiny.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    """The filter must reach the parquet scan and the scan must read only
+    the 7 referenced columns — not all 16 of lineitem."""
+    df = entrymod.queries()["tpch_q1"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    scan_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ][0]
+    for col in ("l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in scan_schema
+    assert "l_comment" not in scan_schema  # widest column stays unread
+
+
+def test_graph_edges_no_cartesian_and_pruned(spark):
+    df = entrymod.queries()["graph_edges"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "l_comment" not in plan and "o_comment" not in plan
+
+
+def test_jaccard_capped_hot_filter_is_broadcast(spark):
+    """The hot-shingle anti-join must broadcast the (tiny) hot set, not
+    shuffle the full shingle index against it."""
+    from distributed_pagerank_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = shingle_index(docs).persist()
+    hot = (
+        idx.groupBy("shingle").agg(F.count("*").alias("df"))
+        .where(F.col("df") > 3).select("shingle")
+    )
+    capped = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    plan = plan_of(capped)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    idx.unpersist()
+    # and the operator output itself still computes (materialized inside)
+    out = jaccard_pairs(docs, threshold=0.9, max_shingle_df=3)
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_pagerank_iteration_no_extra_state_exchange(spark):
+    """The per-iteration update must reuse the cached, pre-partitioned
+    layouts: the only shuffle is the contribution stream's gather agg, so
+    one iteration materializes as ONE job of at most 4 stages (scatter
+    join + partial agg | final agg + update join | count) — a lost
+    partitioning reuse adds whole exchange stages and fails this.
+    Asserted at runtime via the status tracker, not explain text (which
+    expands cached subtrees)."""
+    from distributed_pagerank_spark.operators.degrees import vertices_from_edges
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    # co-partitioning only holds when cached layouts match the shuffle
+    # partition count, exactly like pagerank()'s num_partitions default
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # micro data would broadcast every join (each broadcast build is its
+    # own job); at 85M+ edges these are sort-merge joins — probe that shape
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ew = (
+        edges.groupBy("src", "dst").agg(F.count("*").alias("__cnt"))
+        .select("src", "dst")
+        .join(
+            edges.groupBy(F.col("src").alias("id")).agg(
+                F.count("*").alias("out_degree")
+            ),
+            F.col("src") == F.col("id"),
+        )
+        .select("src", "dst", "out_degree")
+        .repartition(parts, "src")
+        .persist()
+    )
+    ew.count()
+    verts = vertices_from_edges(edges)
+    n = verts.count()
+    state = (
+        verts.withColumn("e", F.lit(1.0 / n))
+        .withColumn("rank", F.lit(1.0 / n))
+        .repartition(parts, "id")
+        .persist()
+    )
+    state.count()
+    ranks = state.select("id", "rank")
+    contribs = ew.join(ranks, ew["src"] == ranks["id"]).select(
+        "src", "dst", (F.col("rank") / F.col("out_degree")).alias("contrib")
+    )
+    sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("sum"))
+    new_state = state.join(sums, state["id"] == sums["dst"], "left").select(
+        "id",
+        "e",
+        (F.lit(0.85) * F.coalesce(F.col("sum"), F.lit(0.0))
+         + F.lit(0.15) * F.col("e")).alias("rank"),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("iter-probe", "iter-probe")
+    try:
+        snap = new_state.persist()
+        snap.count()
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+    st = sc.statusTracker()
+    jobs = st.getJobIdsForGroup("iter-probe")
+    ran: set[int] = set()
+    for j in jobs:
+        for sid in st.getJobInfo(j).stageIds:
+            info = st.getStageInfo(sid)
+            # cached lineage shows up as SKIPPED stages (no tasks run) —
+            # only stages that executed tasks are real per-iteration work
+            if info is not None and info.numCompletedTasks > 0:
+                ran.add(sid)
+    assert len(jobs) == 1, f"{len(jobs)} jobs for one iteration (want 1)"
+    assert len(ran) <= 4, f"{len(ran)} executed stages for one iteration"
+    snap.unpersist()
+    ew.unpersist()
+    state.unpersist()
+
+
+def test_ann_brute_force_sql_plan_stays_jvm(spark):
+    """The SQL-path brute-force top-k must contain no Python row UDF —
+    aggregate/zip_with dot products stay in codegen."""
+    from distributed_pagerank_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = brute_force_topk(emb, q, k=5, method="sql")
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
