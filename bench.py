@@ -66,8 +66,11 @@ def main() -> None:
 
     t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
 
-    # graph suite over the derived customer→supplier graph
-    edges = contract._graph_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # graph suite over the derived customer→supplier graph. persist, not
+    # localCheckpoint: a lineage cut cannot recompute if tmpfs pressure
+    # evicts a block mid-suite, while a cached join recomputes from parquet.
+    edges = contract._graph_edges(spark, sf_dir).persist()
+    edges.count()
     run("q_pagerank_k10", lambda: pagerank(
         spark, edges, c=0.85, eps=0.0, max_iter=10).ranks.count())
     run("q_connected_components", lambda: connected_components(
@@ -80,9 +83,9 @@ def main() -> None:
     # flagship transcript path (BASELINE input shape), sized to the sf knob
     n_convs = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}.get(sf, 100_000)
     def _transcripts():
+        # no materialization needed: pagerank scans its input exactly once
         tr = synth_transcripts(spark, n_convs=n_convs, seed=42)
-        tr_edges = derive_edges(tr).localCheckpoint(eager=True)
-        res = pagerank(spark, tr_edges, c=0.85, eps=0.0, max_iter=5)
+        res = pagerank(spark, derive_edges(tr), c=0.85, eps=0.0, max_iter=5)
         res.ranks.count()
     run("q_pagerank_transcripts_k5", _transcripts)
 

@@ -56,21 +56,22 @@ EDGES_PATH = os.environ.get(
 )
 
 
-def _clean_stale_shm() -> None:
-    """tmpfs scratch from OOM-killed / crashed JVMs (shuffle files under
-    spark.local.dir, truncation checkpoints) is RAM: 80 GB of orphans once
-    OOM-killed a 48g worker leg. Between legs every JVM is fresh, so when
-    no java process is alive the scratch dirs are provably stale — wipe
-    them."""
-    import shutil
-    import subprocess as sp
+SCRATCH_ROOT = "/dev/shm/scaling-scratch"
 
-    if sp.run(["pgrep", "java"], capture_output=True).returncode == 0:
-        return  # a live JVM may own files in there — leave it alone
-    for d in ("/dev/shm/spark-local", "/dev/shm/dps-rdd-checkpoints"):
-        if os.path.isdir(d):
-            for entry in os.listdir(d):
-                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+
+def _clean_leg_scratch() -> None:
+    """tmpfs scratch (shuffle files, truncation checkpoints) is RAM; a
+    crashed or finished leg leaving 30+ GB behind starved a later 48g leg
+    into the OOM killer. Every leg runs in its OWN subdirectory of
+    SCRATCH_ROOT (never the shared spark-local, which foreground sessions
+    may be using), so after the leg's subprocess has exited its directory
+    is provably dead and is removed — no pgrep heuristics, no race with
+    unrelated JVMs."""
+    import shutil
+
+    if os.path.isdir(SCRATCH_ROOT):
+        for entry in os.listdir(SCRATCH_ROOT):
+            shutil.rmtree(os.path.join(SCRATCH_ROOT, entry), ignore_errors=True)
 
 
 def _timed(fn, reps=3):
@@ -120,12 +121,19 @@ def worker(cores: int) -> None:
     from distributed_pagerank_spark.plans.pagerank import pagerank
 
     parts = max(cores, 8)
+    scratch = f"{SCRATCH_ROOT}/leg-{cores}-{os.getpid()}"
     spark = get_spark(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=parts,
-        extra_conf={"spark.driver.memory": os.environ.get("SCALING_DRIVER_MEM", "48g")},
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SCALING_DRIVER_MEM", "48g"),
+            # leg-private tmpfs scratch: the orchestrator removes it once
+            # this process exits (see _clean_leg_scratch)
+            "spark.local.dir": f"{scratch}/local",
+        },
     )
+    spark.sparkContext.setCheckpointDir(f"{scratch}/ck")
     t0 = time.monotonic()
     edges = spark.read.parquet(EDGES_PATH)
     m = edges.count()
@@ -228,7 +236,7 @@ def main() -> None:
     seen_levels: set[int] = set()
     max_load = float(os.environ.get("SCALING_MAX_LOAD", "0"))
     for run_i, cores in enumerate(SEQUENCE):
-        _clean_stale_shm()
+        _clean_leg_scratch()
         if max_load > 0:
             # least-load scheduling: start a leg only in a quiet window so
             # host jitter from co-tenants stops inflating one level's
@@ -329,6 +337,7 @@ def main() -> None:
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/scaling_result.json", "w") as f:
         json.dump(result, f, indent=1)
+    _clean_leg_scratch()
 
 
 if __name__ == "__main__":
