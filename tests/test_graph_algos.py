@@ -34,21 +34,25 @@ def test_components_generated(spark):
     assert set(got.values()) == {0}
 
 
+@pytest.mark.parametrize("algorithm", ["intersect", "wedge"])
 @pytest.mark.parametrize(
     "name,expected",
     [("triangle_plus", 1), ("chain5", 0), ("cycle4", 0), ("star_in", 0)],
 )
-def test_triangles_fixtures(spark, name, expected):
+def test_triangles_fixtures(spark, name, expected, algorithm):
     pairs = ALL_FIXTURES[name]
     assert brute_triangles(pairs) == expected  # sanity: oracle agrees
-    got = triangle_count(spark, edges_df(spark, pairs)).first()["triangles"]
+    got = triangle_count(
+        spark, edges_df(spark, pairs), algorithm=algorithm
+    ).first()["triangles"]
     assert got == expected
 
 
-def test_triangles_generated(spark):
+@pytest.mark.parametrize("algorithm", ["intersect", "wedge"])
+def test_triangles_generated(spark, algorithm):
     edges = generate_graph(spark, 40, max_edges=6, seed=3)
     pairs = [(r["src"], r["dst"]) for r in edges.collect()]
-    got = triangle_count(spark, edges).first()["triangles"]
+    got = triangle_count(spark, edges, algorithm=algorithm).first()["triangles"]
     assert got == brute_triangles(pairs)
     assert got > 0
 
