@@ -534,9 +534,15 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
 # ----------------------------------------------------------- queries()
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the customer→supplier graph at sf0.001."""
-    edges = _graph_edges(spark, "/root/testdata/sf0.001")
-    res = pagerank(spark, edges, c=0.85, eps=1e-6, max_iter=20)
-    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+    def _run(s: SparkSession, d: str) -> DataFrame:
+        edges = _graph_edges(s, d)
+        res = pagerank(s, edges, c=0.85, eps=1e-6, max_iter=20)
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+    # same conf scoping as every queries() entry: tuned for the eager
+    # iterative work inside, caller's runtime confs restored on return
+    return _scoped(_run)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
