@@ -234,8 +234,27 @@ def main() -> None:
         return
     samples: dict[int, dict] = {}
     seen_levels: set[int] = set()
+    skip_legs = 0
+    partial_path = "/root/repo/BENCH/scaling_partial.json"
+    if os.environ.get("SCALING_RESUME") == "1" and os.path.exists(partial_path):
+        # resume a killed campaign: scaling_partial.json is written after
+        # every leg, so completed legs' samples are seeded verbatim and the
+        # loop starts at the first leg without a result. Only valid when the
+        # sequence matches — a different SCALING_SEQUENCE means a different
+        # campaign and the partial is ignored.
+        with open(partial_path) as f:
+            part = json.load(f)
+        if tuple(part.get("sequence", ())) == SEQUENCE:
+            skip_legs = part["completed_legs"]
+            samples = {int(k): v for k, v in part["samples"].items()}
+            seen_levels = {c for c in samples if samples[c]["phases_s"]}
+            print(f"# resuming after {skip_legs} completed legs "
+                  f"({sum(len(s['steady_iter_s']) for s in samples.values())}"
+                  " steady samples seeded)", flush=True)
     max_load = float(os.environ.get("SCALING_MAX_LOAD", "0"))
     for run_i, cores in enumerate(SEQUENCE):
+        if run_i < skip_legs:
+            continue
         _clean_leg_scratch()
         if max_load > 0:
             # least-load scheduling: start a leg only in a quiet window so
