@@ -42,6 +42,7 @@ from distributed_pagerank_spark.operators.multimodal import (
 from distributed_pagerank_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_topk,
 )
 from distributed_pagerank_spark.plans.components import connected_components
@@ -70,6 +71,8 @@ CC_ITERS = 8
 LPA_ROUNDS = 3
 GEN_N, GEN_MAX_EDGES, GEN_SEED = 500, 5, 11  # generated_graph parameters
 EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
+IVF_CENTROIDS = 8  # IVF cells for the contract-scale corpus (500 vecs)
+IVF_PROBE = 3  # cells probed per query (~3/8 of the corpus scanned)
 NEAR_DUP_THRESHOLD = 0.4  # non-vacuous at sf0.01's cosine distribution
 JACCARD_DF_CAP = 5  # hot-shingle DF cap; bites at sf0.01 (max shingle df=7)
 DUP_OFFSET = 10_000_000  # re-keyed duplicate sample for exact-dedup check
@@ -515,6 +518,49 @@ ranked AS (
 SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rk FROM ranked WHERE rk <= {k}"""
 
 
+def _ann_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 3) -> str:
+    """Twin of ivf_topk with seeded centroids: cells = nearest of the
+    ``n_centroids`` smallest-id vectors (ties → smallest cid), queries
+    probe their ``n_probe`` nearest cells; candidates join on the cell."""
+    return f"""WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+casg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                             c.cvec::DOUBLE[]) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+qasg AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             c.cvec::DOUBLE[]) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT qa.query_id, ca.vec_id,
+         list_cosine_similarity(qa.qv::DOUBLE[], ca.embedding::DOUBLE[]) AS cos
+  FROM qasg qa JOIN casg ca USING (cid)
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rk FROM ranked WHERE rk <= {k}"""
+
+
 def _near_dups_sql(
     threshold: float, n_planes: int = 4, dim: int = 64, seed: int = 42
 ) -> str:
@@ -752,6 +798,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ann_lsh_topk"] = _q_ann_lsh
 
+    def _q_ann_ivf(s, d):
+        # IVF coarse quantizer: seeded centroids (smallest 8 vec_ids, the
+        # deterministic tier — refine_iters stays 0 so the DuckDB twin can
+        # reproduce the cells with ORDER BY vec_id LIMIT 8)
+        emb = _t(s, d, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        queries_df = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf_topk(
+            emb, queries_df, k=10, n_centroids=IVF_CENTROIDS,
+            n_probe=IVF_PROBE, dim=EMB_DIM,
+        ).select(
+            "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
+        )
+    q["ann_ivf_topk"] = _q_ann_ivf
+
     def _q_near_dups(s, d):
         emb = _t(s, d, "embeddings").select(
             "vec_id",
@@ -878,6 +943,9 @@ GROUP BY fp HAVING count(*) > 1""",
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "doc_winnow": _winnow_sql(),
         "ann_lsh_topk": _ann_lsh_sql(k=10, n_planes=4, dim=EMB_DIM),
+        "ann_ivf_topk": _ann_ivf_sql(
+            k=10, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+        ),
         "embedding_near_dups": _near_dups_sql(
             NEAR_DUP_THRESHOLD, n_planes=4, dim=EMB_DIM
         ),

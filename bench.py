@@ -35,6 +35,7 @@ from distributed_pagerank_spark.operators.dedup import (  # noqa: E402
 )
 from distributed_pagerank_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from distributed_pagerank_spark.functions.text import (  # noqa: E402
@@ -108,6 +109,12 @@ def main() -> None:
         q = emb.limit(32).select(F.col("vec_id").alias("query_id"), "embedding")
         lsh_topk(emb, q, k=10, n_planes=8).count()
     run("q_ann_lsh_topk", _ann_lsh)
+
+    def _ann_ivf():
+        emb = t("embeddings")
+        q = emb.limit(32).select(F.col("vec_id").alias("query_id"), "embedding")
+        ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).count()
+    run("q_ann_ivf_topk", _ann_ivf)
 
     run("q_text_analysis", lambda: t("documents").select(
         token_count("text"), lang_id("text"), quality_score("text")

@@ -11,6 +11,13 @@ Two paths:
   bucket the corpus; queries probe their own bucket (plus optional
   multi-probe neighbors at Hamming distance 1). Deterministic, seeded
   hyperplanes derived from xxhash64 — identical across cluster sizes.
+- **IVF (inverted-file) top-k** — the coarse-quantizer scale path: a
+  small centroid table partitions the corpus into ``n_centroids`` cells
+  (assignment is a MAP-ONLY column expression — no shuffle, like LSH
+  bucketing); queries probe their ``n_probe`` nearest cells, so the
+  candidate join touches ~``n_probe/n_centroids`` of the corpus.
+  Centroids are either a deterministic seeded pick (oracle-twin tier) or
+  refined in place by distributed Lloyd iterations (spherical k-means).
 """
 
 from __future__ import annotations
@@ -273,3 +280,184 @@ def embedding_near_duplicates(
         .distinct()
     )
     return pairs
+
+
+# --------------------------------------------------------------- IVF ANN
+
+
+def _const_vec(v) -> F.Column:
+    """A centroid as a literal array<double> column."""
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _centroid_sim_structs(vec_col, centroids) -> F.Column:
+    """array<struct<s: double, nc: int>> — cosine similarity of ``vec_col``
+    (cast to array<double>) against every centroid, with ``nc = -cid`` so
+    struct ordering (s asc, nc asc) breaks similarity ties toward the
+    SMALLEST centroid id under both array_max and reverse(array_sort).
+    """
+    v = vec_col.cast("array<double>")
+    return F.array(*[
+        F.struct(
+            cosine_similarity_col(v, _const_vec(cv)).alias("s"),
+            F.lit(-int(cid)).cast("int").alias("nc"),
+        )
+        for cid, cv in centroids
+    ])
+
+
+def ivf_assign_col(vec_col, centroids) -> F.Column:
+    """Nearest-centroid id (cosine, ties → smallest cid) as a pure column
+    expression — corpus assignment is map-only, no shuffle."""
+    best = F.array_max(_centroid_sim_structs(vec_col, centroids))
+    return (-best["nc"]).cast("long")
+
+
+def ivf_probe_col(vec_col, centroids, n_probe: int) -> F.Column:
+    """array<long> of the ``n_probe`` nearest centroid ids (desc cosine,
+    ties → smallest cid first)."""
+    ordered = F.reverse(F.array_sort(_centroid_sim_structs(vec_col, centroids)))
+    return F.transform(
+        F.slice(ordered, 1, n_probe), lambda s: (-s["nc"]).cast("long")
+    )
+
+
+def _ivf_pandas_udfs(centroids, n_probe: int):
+    """Arrow kernel twins of assign/probe for production dims where the
+    unrolled expression would blow up the Catalyst tree (same guard story
+    as :func:`_bucket_pandas_udf`): one normalized matmul per batch,
+    argsort over (−sim, cid) for exact tie parity with the expressions."""
+    import numpy as np
+
+    cids = np.array([int(c) for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def _top(mat: "np.ndarray", n: int) -> "np.ndarray":
+        sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ cmat.T
+        order = np.lexsort(
+            (np.broadcast_to(cids, sims.shape), -sims), axis=1
+        )[:, :n]
+        return cids[order]
+
+    @F.pandas_udf("long")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(_top(np.array(list(v), dtype=np.float64), 1)[:, 0])
+
+    @F.pandas_udf("array<long>")
+    def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        return pd.Series(list(_top(np.array(list(v), dtype=np.float64), n_probe)))
+
+    return assign, probe
+
+
+def seeded_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid seed: the ``n_centroids`` smallest-id corpus
+    vectors. Driver-side collect of ``n_centroids`` rows — tiny by design
+    (a coarse quantizer wants 256–65k cells even at 100 TB), and exactly
+    reproducible in an ANSI-SQL twin (ORDER BY id LIMIT k)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd refinement (spherical k-means): assign via the
+    map-only expression, recompute per-cell means with one
+    posexplode→groupBy pass, collect the k×dim means back (small).
+    Empty cells keep their previous centroid. The refined centroids feed
+    :func:`ivf_topk` unchanged — refinement only moves cell boundaries."""
+    cur = centroids
+    dim = len(cur[0][1])
+    for _ in range(iters):
+        asg = corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            ivf_assign_col(F.col(vec_col), cur).alias("cid"),
+        )
+        means = (
+            asg.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cid"]), [0.0] * dim)[r["pos"]] = r["m"]
+        cur = [(cid, by_cid.get(cid, v)) for cid, v in cur]
+    return cur
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Approximate cosine top-k via an inverted-file (IVF) coarse
+    quantizer → ``(query_id, vec_id, cos_sim, rk)``.
+
+    Each corpus vector lands in exactly ONE cell (so the probe join never
+    duplicates a candidate pair); each query scans its ``n_probe`` nearest
+    cells. At scale: centroids are a broadcast-sized constant folded into
+    the plan, corpus assignment is embarrassingly parallel at scan time,
+    and the only shuffle is the cell-equi candidate join — ~
+    ``n_probe/n_centroids`` of the brute-force work. ``refine_iters`` runs
+    distributed Lloyd on the seed centroids first (k-means scale path).
+    """
+    if centroids is None:
+        centroids = seeded_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iters:
+        centroids = kmeans_refine(corpus, centroids, refine_iters, vec_col)
+    if dim is None:
+        dim = len(centroids[0][1])
+    use_arrow = len(centroids) * dim > MAX_UNROLLED_NODES
+    if use_arrow:
+        assign_udf, probe_udf = _ivf_pandas_udfs(centroids, n_probe)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        (assign_udf(F.col(vec_col)) if use_arrow
+         else ivf_assign_col(F.col(vec_col), centroids)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        (probe_udf(F.col(vec_col)) if use_arrow
+         else ivf_probe_col(F.col(vec_col), centroids, n_probe)).alias("cells"),
+    ).select("query_id", "qvec", F.explode("cells").alias("cell"))
+    scored = c.join(q, "cell").select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )

@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 from distributed_pagerank_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
+    kmeans_refine,
     lsh_topk,
+    seeded_centroids,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -107,6 +110,91 @@ def test_bucket_kernel_paths_agree(spark, emb):
         _bucket_pandas_udf(planes)(F.col("embedding")).alias("b_arrow"),
     )
     assert both.where("b_sql != b_arrow").count() == 0
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb, queries):
+    """Probing every cell is an exhaustive scan — IVF must return exactly
+    the brute-force top-k (each corpus vector lives in exactly one cell,
+    so the union of all probed cells is the whole corpus, no dup pairs)."""
+    exact = brute_force_topk(emb, queries, k=10, method="pandas").collect()
+    full = ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=8).collect()
+    ke = {(r.query_id, r.rk): r.vec_id for r in exact}
+    kf = {(r.query_id, r.rk): r.vec_id for r in full}
+    assert ke == kf
+
+
+def test_ivf_recall_and_self_match(spark, emb, queries):
+    exact = brute_force_topk(emb, queries, k=10, method="pandas").collect()
+    approx = ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=3).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) > 0.4  # 3/8 of corpus scanned
+    # a query that is itself a corpus vector probes its own cell first
+    for q in ex:
+        assert q in ap.get(q, set())
+
+
+def test_ivf_expression_and_arrow_paths_agree(spark, emb):
+    """The unrolled argmax expression and the Arrow matmul kernel assign
+    identical cells and probe lists (incl. tie order) on real vectors."""
+    from distributed_pagerank_spark.operators.similarity import (
+        _ivf_pandas_udfs,
+        ivf_assign_col,
+        ivf_probe_col,
+    )
+
+    cents = seeded_centroids(emb, 8)
+    assign_udf, probe_udf = _ivf_pandas_udfs(cents, 3)
+    both = emb.select(
+        "vec_id",
+        ivf_assign_col(F.col("embedding"), cents).alias("a_sql"),
+        assign_udf(F.col("embedding")).alias("a_arrow"),
+        ivf_probe_col(F.col("embedding"), cents, 3).alias("p_sql"),
+        probe_udf(F.col("embedding")).alias("p_arrow"),
+    )
+    assert both.where("a_sql != a_arrow").count() == 0
+    assert both.where("p_sql != p_arrow").count() == 0
+
+
+def test_ivf_arrow_routing_executes(spark, emb, queries):
+    """n_centroids × dim above MAX_UNROLLED_NODES must route to the Arrow
+    kernel and still produce a valid top-k with self-matches."""
+    from distributed_pagerank_spark.operators.similarity import MAX_UNROLLED_NODES
+
+    assert 40 * 64 > MAX_UNROLLED_NODES
+    out = ivf_topk(emb, queries, k=5, n_centroids=40, n_probe=8).collect()
+    firsts = {r.query_id: r.vec_id for r in out if r.rk == 1}
+    assert firsts == {q: q for q in firsts} and len(firsts) == 5
+
+
+def test_kmeans_refine_reduces_assignment_cost(spark, emb):
+    """One Lloyd iteration must not increase spherical k-means cost
+    (mean max-cosine to the assigned centroid must not drop)."""
+    import numpy as np
+
+    rows = emb.collect()
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def cost(cents):
+        c = np.array([v for _, v in cents], dtype=np.float64)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return (m @ c.T).max(axis=1).mean()
+
+    seed = seeded_centroids(emb, 8)
+    refined = kmeans_refine(emb, seed, iters=2)
+    assert [cid for cid, _ in refined] == [cid for cid, _ in seed]
+    assert cost(refined) >= cost(seed) - 1e-9
+    # refined centroids drive the same operator unchanged
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, k=5, centroids=refined, n_probe=3).collect()
+    assert {r.query_id for r in out} == {0, 1, 2}
 
 
 def test_lsh_bigdim_uses_arrow_and_executes(spark):
