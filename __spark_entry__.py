@@ -32,6 +32,7 @@ from distributed_pagerank_spark.operators.dedup import (
     hash60_md5_sql,
     jaccard_pairs,
     minhash_lsh_pairs,
+    near_dup_clusters,
     simhash_pairs,
 )
 from distributed_pagerank_spark.operators.similarity import _hyperplanes
@@ -417,6 +418,27 @@ SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
 FROM est WHERE est_jaccard >= {threshold}"""
 
 
+def _dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """Twin of near_dup_clusters over minhash md5 pairs: the *exact*
+    transitive closure (recursive CTE; terminates because UNION dedups
+    the monotone reach set) — which is the fixpoint the pointer-jumping
+    CC loop computes, so both sides agree at any graph diameter."""
+    return f"""WITH RECURSIVE pairs AS ({_minhash_lsh_sql(threshold=threshold)}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+),
+cc AS (SELECT id, min(comp) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(cc.cluster, d.doc_id) AS cluster_id,
+       (CASE WHEN d.doc_id = coalesce(cc.cluster, d.doc_id)
+             THEN 1 ELSE 0 END) AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
+
+
 def _simhash_sql(max_hamming: int = 3, bits: int = 60, seed: int = 42) -> str:
     """Exact twin of simhash_pairs(hash_fn='md5', bits=60). The chunk
     banding is complete (pigeonhole with max_hamming+1 chunks), so the
@@ -765,6 +787,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), threshold=0.5, hash_fn="md5"
     ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
+    # corpus-level fuzzy dedup: LSH pairs → transitive closure (pointer-
+    # jumping CC) → one survivor per cluster; oracle = recursive-CTE
+    # exact closure over the same md5 pairs.
+    q["dedup_clusters"] = lambda s, d: near_dup_clusters(
+        s, _t(s, d, "documents"), threshold=0.5, hash_fn="md5"
+    )
+
     q["dedup_simhash"] = lambda s, d: simhash_pairs(
         _t(s, d, "documents"), max_hamming=3, bits=60, hash_fn="md5"
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -940,6 +969,7 @@ GROUP BY fp HAVING count(*) > 1""",
         "dedup_jaccard_pairs": _jaccard_sql(0.5),
         "dedup_jaccard_capped": _jaccard_sql(0.5, df_cap=JACCARD_DF_CAP),
         "dedup_minhash_lsh": _minhash_lsh_sql(threshold=0.5),
+        "dedup_clusters": _dedup_clusters_sql(threshold=0.5),
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "doc_winnow": _winnow_sql(),
         "ann_lsh_topk": _ann_lsh_sql(k=10, n_planes=4, dim=EMB_DIM),

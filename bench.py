@@ -31,6 +31,7 @@ from distributed_pagerank_spark.plans.triangles import triangle_count  # noqa: E
 from distributed_pagerank_spark.operators.dedup import (  # noqa: E402
     jaccard_pairs,
     minhash_lsh_pairs,
+    near_dup_clusters,
     simhash_pairs,
 )
 from distributed_pagerank_spark.operators.similarity import (  # noqa: E402
@@ -95,6 +96,8 @@ def main() -> None:
         t("documents"), threshold=0.5, max_shingle_df=1000).count())
     run("q_dedup_minhash_lsh", lambda: minhash_lsh_pairs(
         t("documents"), threshold=0.5).count())
+    run("q_dedup_clusters", lambda: near_dup_clusters(
+        spark, t("documents"), threshold=0.5).count())
     run("q_dedup_simhash", lambda: simhash_pairs(
         t("documents"), max_hamming=3).count())
 

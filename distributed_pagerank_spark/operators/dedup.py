@@ -373,3 +373,64 @@ def simhash_pairs(
     res = out.localCheckpoint(eager=True)
     sig.unpersist()
     return res
+
+
+# ------------------------------------------- fuzzy-dedup clustering
+def near_dup_clusters(
+    spark,
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Corpus-level fuzzy dedup → ``(doc_id, cluster_id, keep int)``.
+
+    The shape every large-scale training-data pipeline ends with
+    (SlimPajama / Gopher / CCNet style): candidate near-dup *pairs* are
+    only half the job — dedup must act on the *transitive closure* (A~B,
+    B~C ⇒ {A,B,C} are one cluster even if A~C was never emitted), keeping
+    exactly one survivor per cluster.
+
+    Composition, all DataFrame-native:
+
+    1. pairs = :func:`minhash_lsh_pairs` (or any ``(id_a, id_b, ...)``
+       DataFrame passed via ``pairs`` — jaccard/simhash/embedding pairs
+       all fit).
+    2. clusters = pointer-jumping connected components
+       (:func:`~distributed_pagerank_spark.plans.components.connected_components`)
+       over the pair graph — O(log diameter) rounds; the pair graph holds
+       only near-dup docs, a tiny fraction of the corpus, so the CC loop
+       state is small even at 10^9 docs.
+    3. left join back to the corpus: unpaired docs are their own
+       singleton cluster. ``component`` = min doc id in the cluster, so
+       the canonical survivor is simply ``doc_id == cluster_id`` — no
+       extra ranking pass, and at 100 TB the (small) cluster map joins in
+       broadcast via AQE.
+
+    ``keep`` is int (1/0) rather than boolean for exact cross-engine
+    oracle hashing.
+    """
+    # local import: plans.* composes operators.*; keep module import acyclic
+    from distributed_pagerank_spark.plans.components import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, threshold=threshold, id_col=id_col, text_col=text_col,
+            hash_fn=hash_fn, **lsh_kwargs,
+        )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(spark, edges)
+    docs = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn(
+            "keep", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+        )
+    )

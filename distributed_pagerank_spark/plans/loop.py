@@ -131,24 +131,38 @@ def safe_truncate(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def release_local_checkpoint(df: DataFrame) -> None:
-    """Unpersist the internal RDD behind a ``localCheckpoint``-ed DataFrame.
+    """Release an iteration-state DataFrame the loop owns.
 
     ``DataFrame.unpersist()`` is a no-op for local checkpoints (they are
     cached at the RDD layer, not in the SQL cache manager); without this,
     an N-iteration loop pins N dead rank vectors in executor memory. The
     checkpointed plan is a LogicalRDD whose ``rdd`` is the cached one.
+
+    OWNERSHIP GUARD: RDD-level release happens only when the DataFrame
+    *is* the localCheckpoint product — its analyzed plan is a leaf
+    LogicalRDD. Unwrapping derived (single-child) plans to their leaf is
+    unsound: a state vector freshly derived from a caller-supplied
+    localCheckpoint-ed input (e.g. connected components over the pair
+    DataFrame that ``minhash_lsh_pairs`` returns) bottoms out at the
+    *input's* LogicalRDD, and unpersisting that destroys blocks the loop
+    does not own — the source is gone and every later recompute dies with
+    "Checkpoint block not found". Anything else falls back to plain
+    ``unpersist()`` (correct for the persist-chain iterates).
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
-        # unwrap projections down to the LogicalRDD leaf
-        while plan.children().size() == 1:
-            plan = plan.children().head()
-        plan.rdd().unpersist(False)
+        if (
+            plan.children().size() == 0
+            and plan.getClass().getSimpleName() == "LogicalRDD"
+        ):
+            plan.rdd().unpersist(False)
+            return
     except Exception:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+        pass
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 def _fs(spark: SparkSession, path: str):

@@ -180,3 +180,42 @@ def test_jaccard_df_cap(spark, docs):
     capped = {(r.id_a, r.id_b) for r in
               jaccard_pairs(docs, threshold=0.5, max_shingle_df=10**6).collect()}
     assert uncapped == capped
+
+
+def test_near_dup_clusters_transitive(spark):
+    from distributed_pagerank_spark.operators.dedup import near_dup_clusters
+
+    # A~B and B~C by pair list, A~C never emitted; D is a singleton.
+    docs = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c"), (40, "d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in near_dup_clusters(spark, docs, pairs=pairs).collect()
+    }
+    assert out == {10: (10, 1), 20: (10, 0), 30: (10, 0), 40: (40, 1)}
+
+
+def test_near_dup_clusters_from_lsh(spark, docs):
+    from distributed_pagerank_spark.operators.dedup import near_dup_clusters
+
+    out = near_dup_clusters(spark, docs, threshold=0.5).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == len(DOCS)  # every doc classified
+    # docs 1/2/6 are (near-)identical after normalization? LSH works on raw
+    # shingles, so at least the exact dup pair 1-2 must cluster together.
+    assert by_id[2].cluster_id == by_id[1].cluster_id
+    assert by_id[1].keep == 1 and by_id[2].keep == 0
+    # singleton docs keep themselves
+    assert by_id[5].cluster_id == 5 and by_id[5].keep == 1
+    # exactly one survivor per cluster, and it's the min id
+    import collections
+    clusters = collections.defaultdict(list)
+    for r in out:
+        clusters[r.cluster_id].append(r)
+    for cid, members in clusters.items():
+        keeps = [m.doc_id for m in members if m.keep == 1]
+        assert keeps == [min(m.doc_id for m in members)] == [cid]
