@@ -758,6 +758,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", F.size(winnow_fingerprints("text")).alias("n_fingerprints")
     )
 
+    def _q_corpus_select(s, d):
+        """End-of-pipeline training-corpus selection — the composition the
+        text toolkit exists for: exact-dedup survivor ∧ lang 'en' ∧
+        quality ≥ 0.5, in one declarative plan (fingerprint groupBy is the
+        only shuffle; filters are pure column expressions that Catalyst
+        pushes below the join). Same re-keyed dup union as
+        dedup_exact_groups so the dedup leg provably removes rows."""
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        rekeyed = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+        )
+        u = docs.unionByName(rekeyed).select(
+            "doc_id", "text", normalized_fingerprint("text").alias("fp")
+        )
+        keep = u.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+        return (
+            u.join(keep, "fp")
+            .where(F.col("doc_id") == F.col("keep_id"))
+            .where(lang_id("text") == "en")
+            .where(quality_score("text") >= 0.5)
+            .select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+        )
+    q["corpus_select"] = _q_corpus_select
+
     # --- dedup ---------------------------------------------------------
     def _q_dedup_exact(s, d):
         # the sf0.01 documents table has no exact duplicates, which made
@@ -957,6 +981,17 @@ GROUP BY l_returnflag, l_linestatus""",
         "doc_lang_id": f"SELECT doc_id, {_lang_sql_expr()} AS pred_lang FROM documents",
         "doc_quality": f"SELECT doc_id, round({_quality_sql_expr()}, 6) AS quality FROM documents",
         "doc_fingerprint": f"SELECT doc_id, {_FINGERPRINT_SQL_EXPR} AS fingerprint FROM documents",
+        "corpus_select": f"""WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+),
+fp AS (SELECT doc_id, text, {_FINGERPRINT_SQL_EXPR} AS fp FROM docs),
+keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp)
+SELECT f.doc_id, round({_quality_sql_expr()}, 6) AS quality
+FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.keep_id
+WHERE {_lang_sql_expr()} = 'en' AND {_quality_sql_expr()} >= 0.5""",
         "dedup_exact_groups": f"""WITH docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
