@@ -118,6 +118,7 @@ def connected_components(
     iteration = start_iter
     prev = labels
     since_truncate = 0
+    last_truncated = None
     with loop_conf(spark):
         while iteration < max_iter:
             iteration += 1
@@ -168,6 +169,13 @@ def connected_components(
             if since_truncate >= 5:
                 truncated = safe_truncate(spark, labels)  # see pagerank
                 labels.unpersist()
+                # the new truncation is materialized (eager), so the
+                # previous truncated state — which only this loop owns —
+                # can release its blocks (no-op for reliable checkpoints,
+                # frees the pinned RDD in the localCheckpoint fallback)
+                if last_truncated is not None:
+                    release_local_checkpoint(last_truncated)
+                last_truncated = truncated
                 labels = truncated
                 prev = None
                 since_truncate = 0

@@ -99,6 +99,7 @@ def label_propagation(
     rnd = start_round
     prev = labels
     since_truncate = 0
+    last_truncated = None
     with loop_conf(spark):
         while rnd < rounds:
             rnd += 1
@@ -138,6 +139,11 @@ def label_propagation(
             if since_truncate >= 5:
                 truncated = safe_truncate(spark, labels)  # see pagerank
                 labels.unpersist()
+                # release the previous truncated state (loop-owned) now
+                # that the new one is materialized — see components.py
+                if last_truncated is not None:
+                    release_local_checkpoint(last_truncated)
+                last_truncated = truncated
                 labels = truncated
                 prev = None
                 since_truncate = 0

@@ -366,10 +366,13 @@ def pagerank(
                 truncated = safe_truncate(spark, state)
                 state.unpersist()
                 state = truncated
-                # hold the previous truncated DF until THIS truncation has
-                # materialized: with cleanCheckpoints=true its files are GC'd
-                # once unreferenced, and the new snapshot's plan may recompute
-                # through them before eager materialization completes.
+                # the previous truncated DF must outlive the new truncation's
+                # eager materialization (cleanCheckpoints=true GC races) —
+                # which has completed by here, so release it now: no-op for
+                # reliable checkpoints, frees the pinned RDD blocks in the
+                # localCheckpoint fallback.
+                if last_truncated is not None:
+                    release_local_checkpoint(last_truncated)
                 last_truncated = truncated
                 prev_snapshot = None
                 since_truncate = 0
