@@ -699,10 +699,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["edgelist_http"] = _q_edgelist_http
 
     # the oracle twin unrolls exactly CC_ITERS hash-min exchanges, so this
-    # entry pins algorithm='hashmin' (the engine default is 'pointer',
-    # which reaches the same fixpoint in O(log d) rounds — pytest-covered)
+    # entry pins algorithm='hashmin' (the engine default is 'hybrid':
+    # hash-min until changed-decay stalls, then pointer jumps)
     q["connected_components"] = lambda s, d: connected_components(
         s, _graph_edges(s, d), max_iter=CC_ITERS, algorithm="hashmin"
+    )
+
+    # the DEFAULT hybrid path, driver-verified: run to the fixpoint (the
+    # sf graph converges well inside CC_ITERS hash-min rounds, so the
+    # unrolled k-round twin has already reached the same fixpoint)
+    q["connected_components_hybrid"] = lambda s, d: connected_components(
+        s, _graph_edges(s, d), max_iter=50
     )
 
     q["label_propagation_k3"] = lambda s, d: label_propagation(
@@ -962,6 +969,7 @@ FROM p
 WHERE try_cast(p[1] AS BIGINT) IS NOT NULL
   AND try_cast(p[2] AS BIGINT) IS NOT NULL""",
         "connected_components": _cc_sql(),
+        "connected_components_hybrid": _cc_sql(),
         "label_propagation_k3": _lpa_sql(),
         "triangle_count": _TRIANGLES_SQL,
         "tpch_q1": """SELECT l_returnflag, l_linestatus,

@@ -12,19 +12,33 @@ the same shuffle structure as the PageRank loop, so the same scale
 properties hold (static edges cached + pre-partitioned; only the label
 vector moves). Convergence = zero changed labels (scalar agg).
 
-Two algorithms, identical output:
+Three algorithms, identical output (same fixpoint):
 
 - ``algorithm='hashmin'`` — the plain exchange above: O(diameter)
   rounds. Fine for shallow graphs (conversation chains of ≤12 turns),
   and the SQL-twinnable oracle tier (fixed-iteration unrolled twin).
-- ``algorithm='pointer'`` (DEFAULT) — hash-min + pointer jumping:
-  each round additionally folds in ``label(label(v))`` via a self-join
-  of the label vector, halving pointer-chain depth per round →
+- ``algorithm='pointer'`` — hash-min + pointer jumping: each round
+  additionally folds in ``label(label(v))`` via a self-join of the
+  label vector, halving pointer-chain depth per round →
   O(log diameter) rounds. Labels only ever decrease and always name a
   vertex of the same component, and any state that is not the
   component-min is not a hash-min fixpoint, so the fixpoint is identical
-  to hash-min's. This is the 100 TB path: a 10^5-long chain converges in
-  ~17 rounds instead of 10^5.
+  to hash-min's. This is the deep-graph path: a 10^5-long chain
+  converges in ~17 rounds instead of 10^5.
+- ``algorithm='hybrid'`` (DEFAULT) — plain hash-min, switching the jump
+  join on permanently the first time the per-round ``changed`` count
+  goes FLAT (``0.7 × prev < changed ≤ prev``). Flat decay is the
+  signature of a long pointer chain draining one hop per round (a
+  length-n chain changes n−t labels in round t → ratio ≈ 1), which is
+  exactly when pointer jumping pays. Shallow graphs never trip it:
+  their ``changed`` series is an expanding-then-collapsing wave
+  (measured on the supplier co-occurrence graph: [1000, 14998, 937,
+  1602, 0] — every ratio is either growth > 1 or collapse < 0.7), so
+  the |V|-sized jump self-join — a measured ~1.3× per-round tax that
+  buys zero round reduction there — never runs. A round-20 backstop
+  arms the jumps unconditionally in case an adversarial ``changed``
+  series ping-pongs around the flat band forever, bounding any run at
+  20 + O(log diameter) rounds.
 """
 
 from __future__ import annotations
@@ -57,10 +71,12 @@ def connected_components(
     resume: bool = True,
     num_partitions: int | None = None,
     metrics_out: list[dict[str, Any]] | None = None,
-    algorithm: str = "pointer",
+    algorithm: str = "hybrid",
+    stall_decay: float = 0.7,
+    jump_backstop_round: int = 20,
 ) -> DataFrame:
     """→ ``(id long, component long)`` at fixpoint."""
-    if algorithm not in ("hashmin", "pointer"):
+    if algorithm not in ("hashmin", "pointer", "hybrid"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -119,6 +135,8 @@ def connected_components(
     prev = labels
     since_truncate = 0
     last_truncated = None
+    jumping = algorithm == "pointer"  # hybrid arms this on stall
+    prev_changed: int | None = None
     with loop_conf(spark):
         while iteration < max_iter:
             iteration += 1
@@ -131,7 +149,7 @@ def connected_components(
             obs = Observation(obs_name(f"cc_changed_{iteration}"))
             candidate = F.coalesce(F.col("nbr_min"), F.col("component"))
             step = labels.join(nbr, labels["id"] == nbr["dst"], "left")
-            if algorithm == "pointer":
+            if jumping:
                 # pointer jump: label(label(v)). Every label value is a vertex
                 # id (init = own id; min over ids), so the self-join resolves.
                 # The label vector is |V|-sized — this join shuffles only it.
@@ -161,6 +179,20 @@ def connected_components(
             )
             new_labels.count()
             changed = obs.get["changed"] or 0
+            used_jump = jumping
+            if algorithm == "hybrid" and not jumping and (
+                (
+                    prev_changed is not None
+                    and stall_decay * prev_changed < changed <= prev_changed
+                )
+                or iteration - start_iter >= jump_backstop_round
+            ):
+                # flat decay = a long pointer chain draining one hop per
+                # round: switch the O(log d) jump join on for the rest of
+                # the run. (Growth > 1 is an expanding wave on a shallow
+                # graph — healthy hash-min progress, no jumps.)
+                jumping = True
+            prev_changed = changed
             labels = new_labels
             if prev is not None:
                 release_local_checkpoint(prev)
@@ -183,6 +215,7 @@ def connected_components(
             meta = {
                 "algo": "connected_components",
                 "changed": changed,
+                "jumping": used_jump,
                 "converged": converged,
                 "fingerprint": fingerprint,
                 "iter_s": round(time.monotonic() - t0, 4),

@@ -83,19 +83,21 @@ def chain_edges(n):
     return [(i, i + 1) for i in range(n - 1)]
 
 
-def test_components_pointer_matches_hashmin(spark):
+@pytest.mark.parametrize("algorithm", ["pointer", "hybrid"])
+def test_components_algorithms_match_hashmin(spark, algorithm):
     edges = generate_graph(spark, 300, max_edges=4, seed=11)
     a = {r["id"]: r["component"] for r in
          connected_components(spark, edges, algorithm="hashmin").collect()}
     b = {r["id"]: r["component"] for r in
-         connected_components(spark, edges, algorithm="pointer").collect()}
+         connected_components(spark, edges, algorithm=algorithm).collect()}
     assert a == b
 
 
-def test_components_default_is_pointer_logarithmic_on_chain(spark):
-    """A length-n chain needs ~n hash-min rounds but O(log n) with pointer
-    jumping — the 100 TB path for long-diameter graphs, and the DEFAULT
-    (no algorithm argument) as of round 3."""
+def test_components_default_is_logarithmic_on_chain(spark):
+    """A length-n chain needs ~n hash-min rounds but O(log n) once pointer
+    jumping kicks in — the DEFAULT (hybrid, no algorithm argument) must
+    detect the linear-decay stall within a couple of rounds and still meet
+    the logarithmic bound."""
     import math as m
     n = 1024
     metrics = []
@@ -105,6 +107,19 @@ def test_components_default_is_pointer_logarithmic_on_chain(spark):
     assert out.where("component != 0").count() == 0  # one component, min id 0
     iters = len(metrics)
     assert iters <= m.ceil(m.log2(n)) + 4, iters  # 10 + slack, vs 1023 hash-min
+    assert any(m_["jumping"] for m_ in metrics)  # the stall detector fired
+
+
+def test_components_hybrid_never_jumps_on_shallow_graph(spark):
+    """On a shallow graph (diameter ~2) the hybrid default must stay plain
+    hash-min: the |V|-sized jump self-join is a per-round tax that buys no
+    round reduction there (the round-3 bench regression)."""
+    star = [(i, 0) for i in range(1, 20)]
+    metrics = []
+    got = {r["id"]: r["component"] for r in connected_components(
+        spark, edges_df(spark, star), metrics_out=metrics).collect()}
+    assert got == {i: 0 for i in range(20)}
+    assert metrics and all(not m_["jumping"] for m_ in metrics), metrics
 
 
 def _counting_edges(spark, pairs):
