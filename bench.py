@@ -59,12 +59,17 @@ def main() -> None:
         app_name="dps-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
 
-    timings: dict[str, float] = {}
+    # Each query is registered once, then the whole suite is run
+    # SPARK_GRAFT_REPS times INTERLEAVED (rep 1 of every query, then rep 2
+    # of every query, ...) and the per-query MIN is reported. Interleaving
+    # means a multi-tenant host storm lands on different queries each rep
+    # instead of poisoning all reps of one query, and min-of-reps is the
+    # standard noise-floor estimator on a shared box — round-over-round
+    # bench deltas become code signal, not host weather.
+    suite: list[tuple[str, object]] = []
 
     def run(name, fn):
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        suite.append((name, fn))
 
     t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
 
@@ -176,12 +181,23 @@ def main() -> None:
            .collect())
     run("q_tpch_q1", _q1)
 
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    per_rep: dict[str, list[float]] = {name: [] for name, _ in suite}
+    for _ in range(reps):
+        for name, fn in suite:
+            t0 = time.monotonic()
+            fn()
+            per_rep[name].append(round(time.monotonic() - t0, 3))
+
+    timings = {name: min(ts) for name, ts in per_rep.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
+        "queries_reps": per_rep,
         "sf": sf,
         "cpus": cpus,
     }))
