@@ -62,6 +62,8 @@ from distributed_pagerank_spark.sources.transcripts import (
 from distributed_pagerank_spark.streaming.events import (
     epoch_seconds_ntz,
     sessionize,
+    sessionize_stream,
+    stream_events_from_parquet,
     windowed_event_counts,
 )
 
@@ -81,6 +83,9 @@ DUP_OFFSET = 10_000_000  # re-keyed duplicate sample for exact-dedup check
 # DuckDB twin can read the identical bytes (the driver runs the Spark side
 # of each query before its oracle); gitignored scratch inside the repo.
 TRANSCRIPT_EDGES_PATH = "/root/repo/.cache/transcript_edges.parquet"
+# scratch for the streaming-sessionizer driver entry: staged source dir,
+# stream checkpoint, and the parquet sink the returned DataFrame reads
+SESSIONIZE_STREAM_DIR = "/root/repo/.cache/sessionize_stream"
 
 _TUNE_CONFS = {
     "spark.sql.shuffle.partitions": "32",
@@ -935,6 +940,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["events_sessionize"] = _q_sessions
 
+    def _q_sessionize_stream(s, d):
+        # The stateful streaming sessionizer (applyInPandasWithState),
+        # driver-verified on a static input: one micro-batch of the whole
+        # events table, then the no-data batch fires event-time timeouts
+        # at the final watermark (delay 0 → floor(max ts, ms)). The
+        # emitted set is deterministic: every gap-closed session, plus
+        # each user's last session iff end_ms + gap_ms < max_ms. The twin
+        # is the batch sessionize SQL restricted to exactly that set.
+        import os
+        import shutil
+
+        base = SESSIONIZE_STREAM_DIR
+        shutil.rmtree(base, ignore_errors=True)
+        srcdir = os.path.join(base, "src")
+        os.makedirs(srcdir)
+        # FileStreamSource wants a directory; the sf table is one file
+        os.symlink(
+            os.path.abspath(f"{d}/events.parquet"),
+            os.path.join(srcdir, "events.parquet"),
+        )
+        src = stream_events_from_parquet(s, srcdir)
+        closed = sessionize_stream(src, gap_minutes=30, watermark="0 seconds")
+        sq = (
+            closed.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return s.read.parquet(os.path.join(base, "out")).select(
+            "user_id",
+            epoch_seconds_ntz("session_start").alias("start_epoch"),
+            epoch_seconds_ntz("session_end").alias("end_epoch"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    q["events_sessionize_stream"] = _q_sessionize_stream
+
     # every callable gets conf-scoped tuning: priors restored on return
     return {name: _scoped(fn) for name, fn in q.items()}
 
@@ -1067,4 +1113,37 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
        count(*)::BIGINT AS n_events
 FROM s GROUP BY user_id, session_idx""",
+        # the streaming sessionizer's deterministic emitted set on a
+        # static input under watermark delay 0: every gap-closed session
+        # (a later session exists for the user), plus each user's final
+        # session iff its event-time timeout (end_ms + gap_ms) precedes
+        # the final watermark floor(max ts, ms) — Spark fires timeouts
+        # strictly below the watermark, both sides floored to millis.
+        "events_sessionize_stream": """WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+),
+sess AS (
+  SELECT user_id, session_idx, min(ts) AS session_start,
+         max(ts) AS session_end, count(*)::BIGINT AS n_events
+  FROM s GROUP BY user_id, session_idx
+),
+wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events)
+SELECT user_id,
+       CAST(floor(epoch(session_start)) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(session_end)) AS BIGINT) AS end_epoch,
+       n_events
+FROM sess, wm
+WHERE session_idx < (SELECT max(session_idx) FROM sess s2
+                     WHERE s2.user_id = sess.user_id)
+   OR epoch_us(session_end) // 1000 + 1800000 < wm_ms""",
     }
