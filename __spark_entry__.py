@@ -44,7 +44,9 @@ from distributed_pagerank_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
     ivf_topk,
+    kmeans_refine,
     lsh_topk,
+    seeded_centroids,
 )
 from distributed_pagerank_spark.plans.components import connected_components
 from distributed_pagerank_spark.sources.edgelist import read_edge_list_http
@@ -86,6 +88,10 @@ TRANSCRIPT_EDGES_PATH = "/root/repo/.cache/transcript_edges.parquet"
 # scratch for the streaming-sessionizer driver entry: staged source dir,
 # stream checkpoint, and the parquet sink the returned DataFrame reads
 SESSIONIZE_STREAM_DIR = "/root/repo/.cache/sessionize_stream"
+# the refined-IVF entry materializes its Lloyd-refined centroids here so
+# the DuckDB twin's cell CTE reads the identical bytes
+REFINED_CENTROIDS_PATH = "/root/repo/.cache/ivf_refined_centroids.parquet"
+IVF_REFINE_ITERS = 2
 
 _TUNE_CONFS = {
     "spark.sql.shuffle.partitions": "32",
@@ -545,13 +551,22 @@ ranked AS (
 SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rk FROM ranked WHERE rk <= {k}"""
 
 
-def _ann_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 3) -> str:
-    """Twin of ivf_topk with seeded centroids: cells = nearest of the
-    ``n_centroids`` smallest-id vectors (ties → smallest cid), queries
-    probe their ``n_probe`` nearest cells; candidates join on the cell."""
+def _ann_ivf_sql(
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    cent_cte: str | None = None,
+) -> str:
+    """Twin of ivf_topk: cells = the seeded centroids (nearest of the
+    ``n_centroids`` smallest-id vectors, ties → smallest cid) or, with
+    ``cent_cte``, an arbitrary ``(cid, cvec)`` source — the refined tier
+    passes read_parquet() of the centroids the Spark query materialized.
+    Queries probe their ``n_probe`` nearest cells; candidates join on the
+    cell."""
+    cent = cent_cte or f"""SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}"""
     return f"""WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  ORDER BY vec_id LIMIT {n_centroids}
+  {cent}
 ),
 casg AS (
   SELECT vec_id, embedding, cid FROM (
@@ -882,6 +897,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ann_ivf_topk"] = _q_ann_ivf
 
+    def _q_ann_ivf_refined(s, d):
+        # IVF with Lloyd-refined centroids (spherical k-means, the scale
+        # tier): refine the seeded centroids distributedly, materialize
+        # them to parquet (double arrays round-trip exactly), read them
+        # back so Spark and the DuckDB twin consume IDENTICAL bytes, then
+        # run the same probe join as ann_ivf_topk over the moved cells.
+        emb = _t(s, d, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        seeds = seeded_centroids(emb, IVF_CENTROIDS)
+        refined = kmeans_refine(emb, seeds, iters=IVF_REFINE_ITERS)
+        s.createDataFrame(
+            refined, "cid long, cvec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(REFINED_CENTROIDS_PATH)
+        cents = [
+            (int(r["cid"]), [float(x) for x in r["cvec"]])
+            for r in s.read.parquet(REFINED_CENTROIDS_PATH).collect()
+        ]
+        queries_df = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf_topk(
+            emb, queries_df, k=10, n_probe=IVF_PROBE, dim=EMB_DIM,
+            centroids=cents,
+        ).select(
+            "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
+        )
+    q["ann_ivf_refined"] = _q_ann_ivf_refined
+
     def _q_near_dups(s, d):
         emb = _t(s, d, "embeddings").select(
             "vec_id",
@@ -1064,6 +1109,16 @@ GROUP BY fp HAVING count(*) > 1""",
         "ann_lsh_topk": _ann_lsh_sql(k=10, n_planes=4, dim=EMB_DIM),
         "ann_ivf_topk": _ann_ivf_sql(
             k=10, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+        ),
+        # refined tier: the cells are the Lloyd-refined centroids the
+        # Spark query materialized (the driver runs Spark first)
+        "ann_ivf_refined": _ann_ivf_sql(
+            k=10,
+            n_probe=IVF_PROBE,
+            cent_cte=(
+                "SELECT cid, cvec FROM "
+                f"read_parquet('{REFINED_CENTROIDS_PATH}/*.parquet')"
+            ),
         ),
         "embedding_near_dups": _near_dups_sql(
             NEAR_DUP_THRESHOLD, n_planes=4, dim=EMB_DIM

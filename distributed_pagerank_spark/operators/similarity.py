@@ -37,7 +37,14 @@ def _norm(a):
 
 
 def cosine_similarity_col(a, b):
-    """Cosine similarity of two array<float> columns (JVM-side)."""
+    """Cosine similarity of two array<float> columns (JVM-side).
+
+    Precondition: non-zero vectors. A zero-norm input divides by zero —
+    NaN under Spark's Java double semantics (and NaN sorts GREATER than
+    any value in array_max/array_sort) — so ranking paths that may see
+    degenerate vectors must guard; the IVF assign/probe kernels below
+    coalesce non-finite similarities to −1.0 on both the expression and
+    Arrow paths to keep them bit-identical."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -299,7 +306,22 @@ def _centroid_sim_structs(vec_col, centroids) -> F.Column:
     v = vec_col.cast("array<double>")
     return F.array(*[
         F.struct(
-            cosine_similarity_col(v, _const_vec(cv)).alias("s"),
+            # zero-norm guard: a degenerate vector's cosine divides by
+            # zero — an error under ANSI (Spark 4 default), NaN otherwise,
+            # and NaN would rank ABOVE every real similarity in array_max
+            # while the numpy kernel's lexsort ranks it last. try_divide
+            # → NULL, nanvl for non-ANSI sessions, then pin both paths to
+            # −1.0 (below any true cosine).
+            F.coalesce(
+                F.nanvl(
+                    F.try_divide(
+                        _dot(v, _const_vec(cv)),
+                        _norm(v) * _norm(_const_vec(cv)),
+                    ),
+                    F.lit(-1.0),
+                ),
+                F.lit(-1.0),
+            ).alias("s"),
             F.lit(-int(cid)).cast("int").alias("nc"),
         )
         for cid, cv in centroids
@@ -334,7 +356,11 @@ def _ivf_pandas_udfs(centroids, n_probe: int):
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 
     def _top(mat: "np.ndarray", n: int) -> "np.ndarray":
-        sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ cmat.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ cmat.T
+        # zero-norm guard: same −1.0 pin as the expression path, so
+        # assign/probe are bit-identical for degenerate vectors too
+        sims = np.where(np.isfinite(sims), sims, -1.0)
         order = np.lexsort(
             (np.broadcast_to(cids, sims.shape), -sims), axis=1
         )[:, :n]
@@ -381,27 +407,47 @@ def kmeans_refine(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd refinement (spherical k-means): assign via the
-    map-only expression, recompute per-cell means with one
-    posexplode→groupBy pass, collect the k×dim means back (small).
-    Empty cells keep their previous centroid. The refined centroids feed
-    :func:`ivf_topk` unchanged — refinement only moves cell boundaries."""
+    map-only expression, recompute each cell's mean DIRECTION entirely on
+    executors, and collect exactly k rows of ``array<double>`` back to the
+    driver — never k×dim scalar rows (at a 65k-cell × 4096-dim coarse
+    quantizer that would be ~2.7×10^8 rows through the driver per
+    iteration).
+
+    Spherical update: vectors are L2-NORMALIZED before averaging, so the
+    cell mean is the mean direction and the k-means objective (sum of
+    cosines to the assigned centroid) is monotone non-decreasing; averaging
+    raw vectors would let long vectors dominate the mean direction and the
+    monotonicity guarantee would not hold. Cosine assignment is
+    scale-invariant, so the mean direction is used as-is (no re-scaling).
+    Zero-norm vectors are excluded from the update (they carry no
+    direction). Empty cells keep their previous centroid. The refined
+    centroids feed :func:`ivf_topk` unchanged — refinement only moves cell
+    boundaries.
+
+    Plan shape: one scan per iteration → posexplode of the normalized
+    vector → hash-agg ``avg`` by (cid, pos) with map-side partials →
+    re-assemble the dim values into one array per cid (k groups of dim
+    struct rows — executor-side, tiny) → collect(k)."""
     cur = centroids
-    dim = len(cur[0][1])
     for _ in range(iters):
+        v = F.col(vec_col).cast("array<double>")
         asg = corpus.select(
-            F.col(vec_col).cast("array<double>").alias("v"),
+            v.alias("v"),
+            _norm(v).alias("nrm"),
             ivf_assign_col(F.col(vec_col), cur).alias("cid"),
-        )
-        means = (
-            asg.select("cid", F.posexplode("v").alias("pos", "val"))
+        ).where(F.col("nrm") > 0)
+        unit = F.transform("v", lambda x: x / F.col("nrm"))
+        rows = (
+            asg.select("cid", F.posexplode(unit).alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))
-            .collect()
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("mean"))
+            .collect()  # exactly one row per non-empty cell
         )
-        by_cid: dict[int, list[float]] = {}
-        for r in means:
-            by_cid.setdefault(int(r["cid"]), [0.0] * dim)[r["pos"]] = r["m"]
-        cur = [(cid, by_cid.get(cid, v)) for cid, v in cur]
+        by_cid = {int(r["cid"]): [float(x) for x in r["mean"]] for r in rows}
+        cur = [(cid, by_cid.get(cid, v0)) for cid, v0 in cur]
     return cur
 
 

@@ -197,6 +197,82 @@ def test_kmeans_refine_reduces_assignment_cost(spark, emb):
     assert {r.query_id for r in out} == {0, 1, 2}
 
 
+def test_kmeans_refine_driver_collect_is_k_rows(spark, emb, monkeypatch):
+    """The Lloyd update must ship ONE array row per cell through the
+    driver, never k×dim scalar rows (the round-3 bottleneck: ~2.7e8 rows
+    per iteration at a 65k-cell × 4096-dim coarse quantizer)."""
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame in
+    # Spark 4) — the pyspark.sql.DataFrame base's collect is overridden
+    cls = type(emb)
+
+    k = 8
+    seed = seeded_centroids(emb, k)
+    sizes: list[int] = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    kmeans_refine(emb, seed, iters=2)
+    assert sizes and max(sizes) <= k, sizes
+
+
+def test_kmeans_refine_averages_directions_not_raw_vectors(spark):
+    """Spherical update: a cell holding one long and one short vector of
+    different directions must move toward the MEAN DIRECTION (equal
+    weight), not toward the long vector."""
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # seed centroid, cell anchor
+        (1, [100.0, 0.0, 0.0]),        # long vector along x
+        (2, [0.0, 1.0, 0.0]),          # unit vector along y
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    refined = kmeans_refine(df, [(0, [1.0, 0.0, 0.0])], iters=1)
+    got = np.array(refined[0][1])
+    got = got / np.linalg.norm(got)
+    # mean of unit vectors x̂, x̂, ŷ → direction (2, 1, 0)/√5; a raw-vector
+    # mean would be dominated by the 100-long vector (≈ x̂)
+    want = np.array([2.0, 1.0, 0.0]) / math.sqrt(5.0)
+    assert np.allclose(got, want, atol=1e-9), got
+
+
+def test_ivf_zero_norm_vector_ranks_last_on_both_paths(spark):
+    """A zero-norm embedding's cosine is NaN; both the expression path and
+    the Arrow kernel must pin it to −1.0 so assignment agrees (NaN would
+    win array_max but lose the numpy lexsort)."""
+    from distributed_pagerank_spark.operators.similarity import (
+        _ivf_pandas_udfs,
+        ivf_assign_col,
+    )
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [3.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    expr = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", ivf_assign_col(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    assign_udf, _ = _ivf_pandas_udfs(cents, 1)
+    arrow = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", assign_udf(F.col("embedding")).alias("cell")
+        ).collect()
+    }
+    assert expr == arrow, (expr, arrow)
+    # all sims pinned to −1.0 → tie → smallest cid
+    assert expr[10] == 0 and expr[11] == 0
+
+
 def test_lsh_bigdim_uses_arrow_and_executes(spark):
     """dim 1024 × 16 planes = 16k-term dot products: the unrolled Catalyst
     expression would be a ~16k-node tree per plane; the size guard must
