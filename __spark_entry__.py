@@ -172,6 +172,11 @@ _EDGES_CTE = f"""edges AS (
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 )"""
 
+_RAW_EDGES_CTE = f"""edges_raw AS (
+  SELECT o.o_custkey AS src, l.l_suppkey + {SUPP_OFFSET} AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)"""
+
 _VERTS_CTE = """verts AS (
   SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges
 )"""
@@ -203,12 +208,19 @@ def _pagerank_sql(
     c: float = 0.85,
     e_seed: int | None = None,
     edges_cte: str = _EDGES_CTE,
+    dangling: str = "reference",
 ) -> str:
     """Unrolled k-iteration PageRank twin. ``e_seed`` switches the E term
     from uniform 1/|V| to the seeded md5-hash personalization vector
     (normalized to sum 1), twin of random_e_vector(hash_fn='md5').
     ``edges_cte`` swaps the edge source (default: the TPC-H derived graph;
-    the flagship passes a read_parquet CTE over its materialized edges)."""
+    the flagship passes a read_parquet CTE over its materialized edges).
+    ``dangling='redistribute'`` adds the classic per-iteration dangling
+    term c·(Σ rank over out-degree-0 vertices)/n to every vertex and — like
+    the engine (plans/pagerank.py) — skips the final renormalization
+    (redistribution conserves total mass exactly, so there is nothing to
+    repair; the reference semantics instead drop dangling mass each
+    iteration and normalize once at the end, pagerank.go:38-45)."""
     if e_seed is None:
         e_cte = ""
         e_term = "1.0 / (SELECT n FROM nn)"
@@ -219,12 +231,23 @@ eraw AS (SELECT v0.id, (({raw}) % 1000000 + 1) / 1000000.0 AS er
          FROM verts v0),
 ev AS (SELECT id, er / (SELECT sum(er) FROM eraw) AS e FROM eraw)"""
         e_term = "(SELECT e FROM ev WHERE ev.id = v.id)"
+    dang_cte = ""
+    if dangling == "redistribute":
+        dang_cte = """,
+dang AS (SELECT id FROM verts
+         WHERE id NOT IN (SELECT DISTINCT src FROM edges))"""
     iters = []
     prev = "r0"
     for i in range(1, k + 1):
+        base = "coalesce(s.s, 0)"
+        if dangling == "redistribute":
+            base += (
+                f" + (SELECT coalesce(sum(r.rank), 0) FROM {prev} r "
+                f"JOIN dang dg ON r.id = dg.id) / (SELECT n FROM nn)"
+            )
         iters.append(f"""r{i} AS (
   SELECT v.id,
-         {c} * coalesce(s.s, 0) + {1.0 - c} * {e_term} AS rank
+         {c} * ({base}) + {1.0 - c} * {e_term} AS rank
   FROM verts v LEFT JOIN (
     SELECT e.dst AS id, sum(r.rank / d.out_degree) AS s
     FROM edges e JOIN {prev} r ON e.src = r.id
@@ -233,13 +256,17 @@ ev AS (SELECT id, er / (SELECT sum(er) FROM eraw) AS e FROM eraw)"""
   ) s ON v.id = s.id
 )""")
         prev = f"r{i}"
+    final = (
+        f"round(rank, 6)" if dangling == "redistribute"
+        else f"round(rank / (SELECT sum(rank) FROM {prev}), 6)"
+    )
     return f"""WITH {edges_cte},
 {_VERTS_CTE},
 deg AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src),
-nn AS (SELECT count(*) AS n FROM verts){e_cte},
+nn AS (SELECT count(*) AS n FROM verts){e_cte}{dang_cte},
 r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
 {",".join(iters)}
-SELECT id, round(rank / (SELECT sum(rank) FROM {prev}), 6) AS rank FROM {prev}"""
+SELECT id, {final} AS rank FROM {prev}"""
 
 
 _TRANSCRIPT_EDGES_CTE = (
@@ -643,6 +670,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id", "out_degree"
     )
 
+    # S4 duplicate-edge policy quirk (reference graph.go:51-99: duplicate
+    # input lines inflate the out-degree but store one in-link). The RAW
+    # orders ⋈ lineitem pair stream has genuine duplicates (a customer
+    # orders from the same supplier repeatedly), so both policies are
+    # non-vacuous: 'reference' counts raw rows, 'distinct' collapses first.
+    def _raw_edges(s, d):
+        o = _t(s, d, "orders").select("o_orderkey", "o_custkey")
+        l = _t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        return o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).cast("long").alias("dst"),
+        )
+
+    q["out_degree_dup_reference"] = lambda s, d: out_degrees(
+        _raw_edges(s, d), dup_policy="reference"
+    ).select("id", "out_degree")
+
+    q["out_degree_dup_distinct"] = lambda s, d: out_degrees(
+        _raw_edges(s, d), dup_policy="distinct"
+    ).select("id", "out_degree")
+
     def _q_pagerank(s, d):
         res = pagerank(s, _graph_edges(s, d), c=0.85, eps=0.0,
                        max_iter=PAGERANK_ITERS)
@@ -654,6 +702,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        max_iter=PAGERANK_ITERS, skew_salt=8, hub_threshold=4)
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
     q["pagerank_k5_salted"] = _q_pagerank_salted
+
+    def _q_pagerank_redistribute(s, d):
+        # classic dangling-mass redistribution (every supplier vertex in
+        # this graph is dangling, so the term is non-vacuous); no final
+        # renormalization — redistribution conserves mass exactly
+        res = pagerank(s, _graph_edges(s, d), c=0.85, eps=0.0,
+                       max_iter=PAGERANK_ITERS, dangling="redistribute")
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    q["pagerank_k5_redistribute"] = _q_pagerank_redistribute
 
     def _q_pagerank_transcripts(s, d):
         # Flagship path over the BASELINE input_hint table shape, now
@@ -1035,8 +1092,16 @@ def oracle_sql() -> dict[str, str]:
         "graph_edges": f"WITH {_EDGES_CTE} SELECT src, dst FROM edges",
         "out_degree": f"""WITH {_EDGES_CTE}
 SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src""",
+        # raw (non-distinct) pair stream: 'reference' counts duplicate
+        # lines (graph.go:78), 'distinct' collapses (src,dst) pairs first
+        "out_degree_dup_reference": f"""WITH {_RAW_EDGES_CTE}
+SELECT src AS id, count(*) AS out_degree FROM edges_raw GROUP BY src""",
+        "out_degree_dup_distinct": f"""WITH {_RAW_EDGES_CTE}
+SELECT src AS id, count(DISTINCT dst) AS out_degree
+FROM edges_raw GROUP BY src""",
         "pagerank_k5": _pagerank_sql(),
         "pagerank_k5_salted": _pagerank_sql(),
+        "pagerank_k5_redistribute": _pagerank_sql(dangling="redistribute"),
         "pagerank_seeded_e": _pagerank_sql(e_seed=7),
         # flagship: unrolled fixed-k PageRank over the parquet edge table
         # the Spark query materialized (the driver runs Spark first)
