@@ -405,9 +405,14 @@ def near_dup_clusters(
        only near-dup docs, a tiny fraction of the corpus, so the CC loop
        state is small even at 10^9 docs.
     3. left join back to the corpus: unpaired docs are their own
-       singleton cluster. ``component`` = min doc id in the cluster, so
-       the canonical survivor is simply ``doc_id == cluster_id`` — no
-       extra ranking pass, and at 100 TB the (small) cluster map joins in
+       singleton cluster. ``component`` = min doc id in the cluster; the
+       survivor is the min id PRESENT IN ``df`` per cluster (computed on
+       the pair-graph-sized cluster map, never the corpus) — for
+       self-generated pairs that is simply ``doc_id == cluster_id``, and
+       for caller-supplied ``pairs`` referencing ids absent from ``df``
+       it guarantees every cluster with at least one present member still
+       keeps exactly one survivor (the foreign min id may still name the
+       cluster). At 100 TB the cluster and survivor maps join in
        broadcast via AQE.
 
     ``keep`` is int (1/0) rather than boolean for exact cross-engine
@@ -424,13 +429,25 @@ def near_dup_clusters(
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components(spark, edges)
     docs = df.select(F.col(id_col).alias("doc_id"))
+    # survivor = min id present in df per cluster. With self-generated
+    # pairs this equals the component id (so the twin's doc_id ==
+    # cluster_id rule is unchanged); with caller-supplied pairs the
+    # cluster min can be a foreign id, which would otherwise leave that
+    # cluster with zero keepers. The agg input is the pair-graph-sized
+    # cluster map semi-joined against the pruned one-column doc-id scan.
+    surv = (
+        comp.join(docs, comp["id"] == docs["doc_id"])
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("__survivor"))
+    )
     return (
         docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .join(surv, "component", "left")
         .select(
             "doc_id",
             F.coalesce("component", "doc_id").alias("cluster_id"),
-        )
-        .withColumn(
-            "keep", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+            (F.col("doc_id") == F.coalesce("__survivor", "doc_id"))
+            .cast("int")
+            .alias("keep"),
         )
     )

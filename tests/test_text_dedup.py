@@ -199,6 +199,28 @@ def test_near_dup_clusters_transitive(spark):
     assert out == {10: (10, 1), 20: (10, 0), 30: (10, 0), 40: (40, 1)}
 
 
+def test_near_dup_clusters_foreign_pair_ids_still_keep_one(spark):
+    """Caller-supplied pairs may reference ids absent from df; if the
+    cluster's min id is foreign, the cluster must STILL keep exactly one
+    present survivor (the min present id), not zero."""
+    from distributed_pagerank_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(1000, "a"), (2000, "b"), (3000, "c")], "doc_id long, text string"
+    )
+    # id 5 is foreign and is the cluster min; 3000 is a singleton
+    pairs = spark.createDataFrame(
+        [(5, 1000), (1000, 2000)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in near_dup_clusters(spark, docs, pairs=pairs).collect()
+    }
+    # the foreign min still NAMES the cluster, but the survivor is the
+    # smallest PRESENT member
+    assert out == {1000: (5, 1), 2000: (5, 0), 3000: (3000, 1)}
+
+
 def test_near_dup_clusters_from_lsh(spark, docs):
     from distributed_pagerank_spark.operators.dedup import near_dup_clusters
 

@@ -59,6 +59,15 @@ EDGES_PATH = os.environ.get(
 SCRATCH_ROOT = "/dev/shm/scaling-scratch"
 
 
+def _population_key() -> dict:
+    """Identity of the sample population a campaign draws from: resuming
+    may only merge samples generated with identical input + knobs (the
+    graph seed is fixed at 42 in the worker, so n_convs + edges path pin
+    the graph; warmup/measure pin the iteration protocol)."""
+    return {"n_convs": N_CONVS, "warmup": WARMUP, "measure": MEASURE,
+            "edges_path": EDGES_PATH}
+
+
 def _clean_leg_scratch() -> None:
     """tmpfs scratch (shuffle files, truncation checkpoints) is RAM; a
     crashed or finished leg leaving 30+ GB behind starved a later 48g leg
@@ -244,7 +253,13 @@ def main() -> None:
         # campaign and the partial is ignored.
         with open(partial_path) as f:
             part = json.load(f)
-        if tuple(part.get("sequence", ())) == SEQUENCE:
+        # same core sequence AND same sample population: a partial from a
+        # different input size / iteration knobs / edge table would
+        # silently pool samples from a different distribution.
+        if (
+            tuple(part.get("sequence", ())) == SEQUENCE
+            and part.get("population") == _population_key()
+        ):
             skip_legs = part["completed_legs"]
             samples = {int(k): v for k, v in part["samples"].items()}
             seen_levels = {c for c in samples if samples[c]["phases_s"]}
@@ -304,6 +319,7 @@ def main() -> None:
         # crash-safe: park everything gathered so far after every leg
         with open("/root/repo/BENCH/scaling_partial.json", "w") as f:
             json.dump({"completed_legs": run_i + 1, "sequence": SEQUENCE,
+                       "population": _population_key(),
                        "samples": {str(k): v for k, v in samples.items()}},
                       f, indent=1)
 
