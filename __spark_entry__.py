@@ -20,10 +20,13 @@ from pyspark.sql import functions as F
 from distributed_pagerank_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    duplicate_line_fraction,
+    duplicate_ngram_fraction,
     lang_id,
     normalized_fingerprint,
     quality_score,
     token_count,
+    top_ngram_fraction,
     winnow_fingerprints,
 )
 from distributed_pagerank_spark.operators.degrees import out_degrees
@@ -842,6 +845,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", F.size(winnow_fingerprints("text")).alias("n_fingerprints")
     )
 
+    def _q_repetition(s, d):
+        # Gopher-style repetition filters. The corpus has no newlines, so
+        # the line metric is exercised on a deterministic variant: every
+        # doc_id % 3 == 0 document has its text duplicated across two
+        # lines (dup_line_frac 0.5); the twin applies the identical CASE.
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat_ws("\n", F.col("text"), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return docs.select(
+            "doc_id",
+            F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
+            F.round(duplicate_ngram_fraction("text", 3), 6).alias("dup_3gram_frac"),
+            F.round(top_ngram_fraction("text", 2), 6).alias("top_2gram_frac"),
+        )
+    q["doc_repetition"] = _q_repetition
+
     def _q_corpus_select(s, d):
         """End-of-pipeline training-corpus selection — the composition the
         text toolkit exists for: exact-dedup survivor ∧ lang 'en' ∧
@@ -1145,6 +1168,40 @@ GROUP BY l_returnflag, l_linestatus""",
         "doc_lang_id": f"SELECT doc_id, {_lang_sql_expr()} AS pred_lang FROM documents",
         "doc_quality": f"SELECT doc_id, round({_quality_sql_expr()}, 6) AS quality FROM documents",
         "doc_fingerprint": f"SELECT doc_id, {_FINGERPRINT_SQL_EXPR} AS fingerprint FROM documents",
+        "doc_repetition": """WITH docs AS (
+  SELECT doc_id,
+         coalesce(CASE WHEN doc_id % 3 = 0
+                       THEN concat_ws(chr(10), text, text)
+                       ELSE text END, '') AS text
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS L,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM docs
+),
+g AS (
+  SELECT doc_id, L,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3,
+         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM feats
+)
+SELECT doc_id,
+  round(CASE WHEN len(L) = 0 THEN 0.0
+        ELSE (len(L) - len(list_distinct(L)))::DOUBLE / len(L) END,
+        6) AS dup_line_frac,
+  round(CASE WHEN len(g3) = 0 THEN 0.0
+        ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END,
+        6) AS dup_3gram_frac,
+  round(CASE WHEN len(g2) = 0 THEN 0.0
+        ELSE list_max(list_transform(list_distinct(g2),
+                x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2)
+        END, 6) AS top_2gram_frac
+FROM g""",
         "corpus_select": f"""WITH docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL

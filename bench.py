@@ -40,9 +40,12 @@ from distributed_pagerank_spark.operators.similarity import (  # noqa: E402
     lsh_topk,
 )
 from distributed_pagerank_spark.functions.text import (  # noqa: E402
+    duplicate_line_fraction,
+    duplicate_ngram_fraction,
     lang_id,
     quality_score,
     token_count,
+    top_ngram_fraction,
 )
 from distributed_pagerank_spark.streaming.events import (  # noqa: E402
     sessionize,
@@ -126,6 +129,12 @@ def main() -> None:
 
     run("q_text_analysis", lambda: t("documents").select(
         token_count("text"), lang_id("text"), quality_score("text")
+    ).write.format("noop").mode("overwrite").save())
+
+    run("q_text_repetition", lambda: t("documents").select(
+        duplicate_line_fraction("text"),
+        duplicate_ngram_fraction("text", 3),
+        top_ngram_fraction("text", 2),
     ).write.format("noop").mode("overwrite").save())
 
     run("q_events_windows", lambda: windowed_event_counts(

@@ -104,20 +104,71 @@ def normalized_fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> (JVM-side: split +
-    transform over a sliding index range; no Python)."""
-    c = F.col(text) if isinstance(text, str) else text
+def _all_word_ngrams(c: Column, n: int) -> Column:
+    """ALL word n-grams (with repeats, in order) as array<string> —
+    JVM-side: split + transform over a sliding index range; no Python."""
     toks = F.split(F.trim(c), r"\s+")
     n_sh = F.size(toks) - (n - 1)
     # NB: F.sequence(0, -1) DESCENDS — guard the too-short case explicitly
     idx = F.when(n_sh <= 0, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(0), n_sh - 1)
     )
-    sh = F.transform(
+    return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
     )
-    return F.array_distinct(sh)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(_all_word_ngrams(c, n))
+
+
+def duplicate_line_fraction(text: Column | str) -> Column:
+    """Gopher/MassiveText-style repetition signal: the fraction of
+    non-blank (trimmed) lines that are repeats of another line in the
+    same document. 0.0 for null/empty documents. Pure column expression
+    — runs at scan speed; no shuffle, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n = F.size(lines)
+    return F.when(c.isNull() | (n <= 0), F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))).cast("double") / n
+    )
+
+
+def duplicate_ngram_fraction(text: Column | str, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an n-gram already
+    seen in the document (0.0 when the document has no n-grams). The
+    classic boilerplate/loop detector over crawled text."""
+    c = F.col(text) if isinstance(text, str) else text
+    grams = _all_word_ngrams(c, n)
+    m = F.size(grams)
+    return F.when(c.isNull() | (m <= 0), F.lit(0.0)).otherwise(
+        (m - F.size(F.array_distinct(grams))).cast("double") / m
+    )
+
+
+def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Fraction of all word n-grams occupied by the single most frequent
+    one (0.0 when the document has no n-grams). High values flag
+    keyword-stuffed / template documents. Per-document quadratic in
+    DISTINCT n-grams but fully JVM-side (transform + filter + array_max)
+    — documents are bounded, the corpus is not, so the expensive axis
+    stays the parallel one."""
+    c = F.col(text) if isinstance(text, str) else text
+    grams = _all_word_ngrams(c, n)
+    m = F.size(grams)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda x: F.size(F.filter(grams, lambda y: y == x)),
+    )
+    return F.when(c.isNull() | (m <= 0), F.lit(0.0)).otherwise(
+        F.array_max(counts).cast("double") / m
+    )
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -6,10 +6,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from distributed_pagerank_spark.functions.text import (
+    duplicate_line_fraction,
+    duplicate_ngram_fraction,
     lang_id,
     normalized_fingerprint,
     quality_score,
     token_count,
+    top_ngram_fraction,
     winnow_fingerprints,
     word_shingles,
 )
@@ -75,6 +78,38 @@ def test_word_shingles(spark):
     assert sorted(got) == ["a b c", "b c d"]
     short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     assert short.select(word_shingles("text", 3).alias("s")).first()["s"] == []
+
+
+def test_repetition_metrics(spark):
+    rows = [
+        # 4 non-blank lines, 'dup' repeated 3x → 2/4 duplicates
+        (1, "dup\ndup\nunique line\ndup"),
+        (2, "a b a b a b"),          # 2-grams: ab ba ab ba ab → top 'a b' 3/5
+        (3, "w x y z"),              # no repetition at all
+        (4, ""),                     # empty → all zeros
+        (5, None),                   # null → all zeros
+        (6, "  \n \n"),              # only blank lines → 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dl, r.dg, r.tg)
+        for r in df.select(
+            "doc_id",
+            duplicate_line_fraction("text").alias("dl"),
+            duplicate_ngram_fraction("text", 2).alias("dg"),
+            top_ngram_fraction("text", 2).alias("tg"),
+        ).collect()
+    }
+    assert got[1][0] == pytest.approx(0.5)
+    assert got[2] == (
+        pytest.approx(0.0),
+        pytest.approx(3 / 5),        # 'a b' and 'b a' each repeat
+        pytest.approx(3 / 5),        # 'a b' occurs 3 of 5
+    )
+    assert got[3] == (0.0, 0.0, pytest.approx(1 / 3))  # all distinct, max 1
+    assert got[4] == (0.0, 0.0, 0.0)
+    assert got[5] == (0.0, 0.0, 0.0)
+    assert got[6][0] == 0.0
 
 
 def test_jaccard_pairs(spark, docs):
