@@ -104,18 +104,33 @@ def normalized_fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def _let(expr: Column, body) -> Column:
+    """Bind ``expr`` as a lambda variable: ``body`` receives a Column that
+    Spark evaluates ONCE per row, however many times the body references
+    it. Higher-order functions run interpreted (outside whole-stage
+    codegen, so no common-subexpression elimination) — a subtree embedded
+    k places inside a lambda is otherwise recomputed k times *per array
+    element*; e.g. the pre-fix ``top_ngram_fraction`` re-split the whole
+    document for every n-gram of every distinct n-gram (~400 s for 5k
+    docs at sf0.1; ~2 s bound)."""
+    return F.get(F.transform(F.array(expr), body), 0)
+
+
 def _all_word_ngrams(c: Column, n: int) -> Column:
     """ALL word n-grams (with repeats, in order) as array<string> —
     JVM-side: split + transform over a sliding index range; no Python."""
-    toks = F.split(F.trim(c), r"\s+")
-    n_sh = F.size(toks) - (n - 1)
-    # NB: F.sequence(0, -1) DESCENDS — guard the too-short case explicitly
-    idx = F.when(n_sh <= 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(0), n_sh - 1)
-    )
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
-    )
+
+    def build(toks: Column) -> Column:
+        n_sh = F.size(toks) - (n - 1)
+        # NB: F.sequence(0, -1) DESCENDS — guard the too-short case explicitly
+        idx = F.when(n_sh <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(0), n_sh - 1)
+        )
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
+        )
+
+    return _let(F.split(F.trim(c), r"\s+"), build)
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
@@ -134,10 +149,14 @@ def duplicate_line_fraction(text: Column | str) -> Column:
         F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
-    n = F.size(lines)
-    return F.when(c.isNull() | (n <= 0), F.lit(0.0)).otherwise(
-        (n - F.size(F.array_distinct(lines))).cast("double") / n
-    )
+
+    def frac(ls: Column) -> Column:
+        n = F.size(ls)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            (n - F.size(F.array_distinct(ls))).cast("double") / n
+        )
+
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(_let(lines, frac))
 
 
 def duplicate_ngram_fraction(text: Column | str, n: int = 3) -> Column:
@@ -145,29 +164,56 @@ def duplicate_ngram_fraction(text: Column | str, n: int = 3) -> Column:
     seen in the document (0.0 when the document has no n-grams). The
     classic boilerplate/loop detector over crawled text."""
     c = F.col(text) if isinstance(text, str) else text
-    grams = _all_word_ngrams(c, n)
-    m = F.size(grams)
-    return F.when(c.isNull() | (m <= 0), F.lit(0.0)).otherwise(
-        (m - F.size(F.array_distinct(grams))).cast("double") / m
+
+    def frac(grams: Column) -> Column:
+        m = F.size(grams)
+        return F.when(m <= 0, F.lit(0.0)).otherwise(
+            (m - F.size(F.array_distinct(grams))).cast("double") / m
+        )
+
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(
+        _let(_all_word_ngrams(c, n), frac)
     )
 
 
 def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
     """Fraction of all word n-grams occupied by the single most frequent
     one (0.0 when the document has no n-grams). High values flag
-    keyword-stuffed / template documents. Per-document quadratic in
-    DISTINCT n-grams but fully JVM-side (transform + filter + array_max)
-    — documents are bounded, the corpus is not, so the expensive axis
-    stays the parallel one."""
+    keyword-stuffed / template documents. O(m log m) per document and
+    fully JVM-side: sort the gram array once, then a single aggregate()
+    fold finds the longest run of equal neighbours (= the max frequency).
+    Documents are bounded, the corpus is not, so the expensive axis stays
+    the parallel one."""
     c = F.col(text) if isinstance(text, str) else text
-    grams = _all_word_ngrams(c, n)
-    m = F.size(grams)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda x: F.size(F.filter(grams, lambda y: y == x)),
-    )
-    return F.when(c.isNull() | (m <= 0), F.lit(0.0)).otherwise(
-        F.array_max(counts).cast("double") / m
+
+    def top_frac(grams: Column) -> Column:
+        m = F.size(grams)
+        best = _let(
+            F.array_sort(grams),
+            lambda sg: F.aggregate(
+                sg,
+                F.struct(
+                    F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    x.alias("prev"),
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1))
+                    .alias("run"),
+                    F.greatest(
+                        acc["best"],
+                        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                    ).alias("best"),
+                ),
+                lambda acc: acc["best"],
+            ),
+        )
+        return F.when(m <= 0, F.lit(0.0)).otherwise(best.cast("double") / m)
+
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(
+        _let(_all_word_ngrams(c, n), top_frac)
     )
 
 
