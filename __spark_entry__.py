@@ -29,6 +29,10 @@ from distributed_pagerank_spark.functions.text import (
     top_ngram_fraction,
     winnow_fingerprints,
 )
+from distributed_pagerank_spark.operators.corpus import (
+    concat_chunk_pack,
+    quota_select,
+)
 from distributed_pagerank_spark.operators.degrees import out_degrees
 from distributed_pagerank_spark.operators.dedup import (
     exact_duplicates,
@@ -889,6 +893,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["corpus_select"] = _q_corpus_select
 
+    def _q_quota_select(s, d):
+        """Per-source document cap (crawl-pipeline domain quota): keep the
+        10 longest documents per source, deterministic integer ordering
+        (n_chars desc, doc_id asc). Window partitioned by source — one
+        hash shuffle, groups rank in parallel."""
+        docs = _t(s, d, "documents").select("doc_id", "source", "n_chars")
+        return quota_select(
+            docs, "source", 10,
+            order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+            keep_rank=True,
+        )
+    q["corpus_quota_select"] = _q_quota_select
+
+    def _q_pack_bins(s, d):
+        """Concat-and-chunk sequence packing: documents laid end-to-end by
+        doc_id, token stream cut into 256-token training windows; the
+        global offset comes from a distributed prefix-sum (range-bucketed
+        cumsum + broadcast bucket offsets), never a global unpartitioned
+        window. n_buckets=7 at this scale so multiple buckets are
+        provably composed."""
+        docs = _t(s, d, "documents").select(
+            "doc_id", token_count("text").alias("tokens")
+        )
+        return concat_chunk_pack(
+            docs, "tokens", "doc_id", chunk_tokens=256, n_buckets=7
+        )
+    q["corpus_pack_bins"] = _q_pack_bins
+
     # --- dedup ---------------------------------------------------------
     def _q_dedup_exact(s, d):
         # the sf0.01 documents table has no exact duplicates, which made
@@ -1213,6 +1245,28 @@ keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp)
 SELECT f.doc_id, round({_quality_sql_expr()}, 6) AS quality
 FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.keep_id
 WHERE {_lang_sql_expr()} = 'en' AND {_quality_sql_expr()} >= 0.5""",
+        "corpus_quota_select": """SELECT doc_id, source, n_chars, rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+)
+WHERE rank <= 10""",
+        "corpus_pack_bins": f"""WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL_EXPR} AS tokens FROM documents
+),
+c AS (
+  SELECT doc_id, tokens,
+         sum(tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start
+  FROM t
+)
+SELECT doc_id, tokens, start,
+       CAST(floor(start / 256.0) AS BIGINT) AS first_bin,
+       CAST(floor((start + greatest(tokens - 1, 0)) / 256.0) AS BIGINT)
+         AS last_bin
+FROM c""",
         "dedup_exact_groups": f"""WITH docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL

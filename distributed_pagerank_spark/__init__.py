@@ -37,6 +37,10 @@ from distributed_pagerank_spark.sources.generator import (
     generate_graph,
     random_e_vector,
 )
+from distributed_pagerank_spark.operators.corpus import (
+    concat_chunk_pack,
+    quota_select,
+)
 from distributed_pagerank_spark.operators.degrees import (
     out_degrees,
     symmetrize,
@@ -57,6 +61,8 @@ __all__ = [
     "read_edge_list_http",
     "generate_graph",
     "random_e_vector",
+    "concat_chunk_pack",
+    "quota_select",
     "out_degrees",
     "symmetrize",
     "vertices_from_edges",

@@ -1,1 +1,1 @@
-"""Operators: degrees/symmetrize, skew salting, dedup, similarity, multimodal."""
+"""Operators: degrees/symmetrize, skew salting, dedup, similarity, multimodal, corpus selection/packing."""

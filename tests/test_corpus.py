@@ -1,0 +1,73 @@
+"""quota_select and concat_chunk_pack (operators/corpus.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_pagerank_spark.operators.corpus import (
+    concat_chunk_pack,
+    quota_select,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, tokens long")
+
+
+def test_quota_select_caps_each_group(spark):
+    rows = [(i, f"s{i % 3}", 10 * (i + 1)) for i in range(12)]
+    out = quota_select(
+        _docs(spark, rows), "source", 2,
+        order_by=[F.col("tokens").desc(), F.col("doc_id")],
+    )
+    got = {(r.source, r.doc_id) for r in out.collect()}
+    # per source, the two highest-token docs win (ids 9..11 then 6..8)
+    assert got == {("s0", 9), ("s0", 6), ("s1", 10), ("s1", 7),
+                   ("s2", 11), ("s2", 8)}
+    assert "rank" not in out.columns and "__rank" not in out.columns
+
+
+def test_quota_select_keep_rank_and_small_groups(spark):
+    rows = [(1, "a", 5), (2, "a", 7), (3, "b", 1)]
+    out = quota_select(
+        _docs(spark, rows), "source", 5,
+        order_by=[F.col("tokens").desc(), F.col("doc_id")], keep_rank=True,
+    ).collect()
+    ranks = {r.doc_id: r.rank for r in out}
+    assert len(out) == 3                       # quota above group size: all kept
+    assert ranks == {2: 1, 1: 2, 3: 1}
+
+
+def test_concat_chunk_pack_offsets_match_serial_scan(spark):
+    rows = [(i, "s", t) for i, t in enumerate([5, 0, 7, 3, 10, 1, 256, 2])]
+    out = concat_chunk_pack(
+        _docs(spark, rows), "tokens", "doc_id", chunk_tokens=8, n_buckets=3
+    ).orderBy("doc_id").collect()
+    # serial reference: running offset in doc_id order
+    offset, expected = 0, []
+    for _, _, t in rows:
+        expected.append((offset, offset // 8, (offset + max(t - 1, 0)) // 8))
+        offset += t
+    got = [(r.start, r.first_bin, r.last_bin) for r in out]
+    assert got == expected
+    # a doc that straddles windows spans more than one bin
+    straddler = next(r for r in out if r.doc_id == 6)
+    assert straddler.last_bin > straddler.first_bin
+
+
+def test_concat_chunk_pack_bucket_count_invariance(spark):
+    rows = [(i, "s", (i * 37) % 23) for i in range(50)]
+    df = _docs(spark, rows)
+    a = concat_chunk_pack(df, "tokens", "doc_id", 16, n_buckets=1)
+    b = concat_chunk_pack(df, "tokens", "doc_id", 16, n_buckets=13)
+    cols = ["doc_id", "start", "first_bin", "last_bin"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_concat_chunk_pack_empty_input(spark):
+    df = _docs(spark, []).where(F.lit(False))
+    out = concat_chunk_pack(df, "tokens", "doc_id", 8)
+    assert out.count() == 0
+    assert {"start", "first_bin", "last_bin"} <= set(out.columns)
