@@ -28,6 +28,10 @@ from distributed_pagerank_spark.plans.components import (  # noqa: E402
 )
 from distributed_pagerank_spark.plans.labelprop import label_propagation  # noqa: E402
 from distributed_pagerank_spark.plans.triangles import triangle_count  # noqa: E402
+from distributed_pagerank_spark.operators.corpus import (  # noqa: E402
+    concat_chunk_pack,
+    quota_select,
+)
 from distributed_pagerank_spark.operators.dedup import (  # noqa: E402
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -135,6 +139,16 @@ def main() -> None:
         duplicate_line_fraction("text"),
         duplicate_ngram_fraction("text", 3),
         top_ngram_fraction("text", 2),
+    ).write.format("noop").mode("overwrite").save())
+
+    run("q_corpus_quota_select", lambda: quota_select(
+        t("documents").select("doc_id", "source", "n_chars"), "source", 100,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    ).count())
+
+    run("q_corpus_pack_bins", lambda: concat_chunk_pack(
+        t("documents").select("doc_id", token_count("text").alias("tokens")),
+        "tokens", "doc_id", chunk_tokens=2048,
     ).write.format("noop").mode("overwrite").save())
 
     run("q_events_windows", lambda: windowed_event_counts(
