@@ -63,6 +63,7 @@ from distributed_pagerank_spark.sources.generator import (
 )
 from distributed_pagerank_spark.plans.labelprop import label_propagation
 from distributed_pagerank_spark.plans.pagerank import pagerank
+from distributed_pagerank_spark.plans.ppr import personalized_pagerank_multi
 from distributed_pagerank_spark.plans.triangles import triangle_count
 from distributed_pagerank_spark.sources.transcripts import (
     derive_edges,
@@ -274,6 +275,46 @@ nn AS (SELECT count(*) AS n FROM verts){e_cte}{dang_cte},
 r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
 {",".join(iters)}
 SELECT id, {final} AS rank FROM {prev}"""
+
+
+def _ppr_multi_sql(k: int = PAGERANK_ITERS, c: float = 0.85) -> str:
+    """Unrolled k-iteration multi-seed PPR twin (plans/ppr.py semantics):
+    state keyed (set_id, id), init = normalized seed vector, sparse
+    support via FULL JOIN of contributions with the seed vector, final
+    per-set normalization. Seed sets mirror the Spark entry: set 1 =
+    customers with id % 50 = 0 (uniform), set 2 = id % 50 = 1 (weight
+    id % 7 + 1)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, k + 1):
+        iters.append(f"""r{i} AS (
+  SELECT coalesce(s.set_id, ev.set_id) AS set_id,
+         coalesce(s.id, ev.id) AS id,
+         {c} * coalesce(s.s, 0) + {1.0 - c} * coalesce(ev.e, 0) AS rank
+  FROM (
+    SELECT r.set_id, e.dst AS id, sum(r.rank / d.out_degree) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.id
+                 JOIN deg d ON e.src = d.id
+    GROUP BY r.set_id, e.dst
+  ) s FULL JOIN ev ON s.set_id = ev.set_id AND s.id = ev.id
+)""")
+        prev = f"r{i}"
+    return f"""WITH {_EDGES_CTE},
+deg AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src),
+custs AS (SELECT DISTINCT src AS id FROM edges),
+seeds AS (
+  SELECT 1 AS set_id, id, 1.0 AS w FROM custs WHERE id % 50 = 0
+  UNION ALL
+  SELECT 2 AS set_id, id, CAST(id % 7 + 1 AS DOUBLE) AS w
+  FROM custs WHERE id % 50 = 1
+),
+ev AS (SELECT set_id, id,
+              w / sum(w) OVER (PARTITION BY set_id) AS e FROM seeds),
+r0 AS (SELECT set_id, id, e AS rank FROM ev),
+{",".join(iters)}
+SELECT set_id, id,
+       round(rank / sum(rank) OVER (PARTITION BY set_id), 6) AS rank
+FROM {prev}"""
 
 
 _TRANSCRIPT_EDGES_CTE = (
@@ -719,6 +760,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
     q["pagerank_k5_redistribute"] = _q_pagerank_redistribute
 
+    def _q_ppr_multi(s, d):
+        """Multi-seed personalized PageRank: two seed sets over the
+        customer→supplier graph ranked in ONE loop (shared edge product,
+        sparse per-set state — plans/ppr.py). Set 1: customers id % 50
+        == 0, uniform weights; set 2: id % 50 == 1, weights id % 7 + 1."""
+        edges = _graph_edges(s, d)
+        custs = edges.select("src").distinct()
+        seeds = (
+            custs.where(F.col("src") % 50 == 0)
+            .select(
+                F.lit(1).alias("set_id"),
+                F.col("src").alias("id"),
+                F.lit(1.0).alias("weight"),
+            )
+            .unionByName(
+                custs.where(F.col("src") % 50 == 1).select(
+                    F.lit(2).alias("set_id"),
+                    F.col("src").alias("id"),
+                    (F.col("src") % 7 + 1).cast("double").alias("weight"),
+                )
+            )
+        )
+        out = personalized_pagerank_multi(
+            s, edges, seeds, c=0.85, k=PAGERANK_ITERS
+        )
+        return out.select("set_id", "id", F.round("rank", 6).alias("rank"))
+    q["ppr_multi_seed"] = _q_ppr_multi
+
     def _q_pagerank_transcripts(s, d):
         # Flagship path over the BASELINE input_hint table shape, now
         # hash-verified: the derived edge table is materialized to a
@@ -1157,6 +1226,7 @@ FROM edges_raw GROUP BY src""",
         "pagerank_k5": _pagerank_sql(),
         "pagerank_k5_salted": _pagerank_sql(),
         "pagerank_k5_redistribute": _pagerank_sql(dangling="redistribute"),
+        "ppr_multi_seed": _ppr_multi_sql(),
         "pagerank_seeded_e": _pagerank_sql(e_seed=7),
         # flagship: unrolled fixed-k PageRank over the parquet edge table
         # the Spark query materialized (the driver runs Spark first)

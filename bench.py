@@ -23,6 +23,9 @@ from distributed_pagerank_spark.sources.transcripts import (  # noqa: E402
     synth_transcripts,
 )
 from distributed_pagerank_spark.plans.pagerank import pagerank  # noqa: E402
+from distributed_pagerank_spark.plans.ppr import (  # noqa: E402
+    personalized_pagerank_multi,
+)
 from distributed_pagerank_spark.plans.components import (  # noqa: E402
     connected_components,
 )
@@ -102,6 +105,19 @@ def main() -> None:
         res = pagerank(spark, derive_edges(tr), c=0.85, eps=0.0, max_iter=5)
         res.ranks.count()
     run("q_pagerank_transcripts_k5", _transcripts)
+
+    def _ppr():
+        edges = contract._graph_edges(spark, sf_dir)
+        custs = edges.select("src").distinct()
+        seeds = custs.where(F.col("src") % 50 == 0).select(
+            F.lit(1).alias("set_id"), F.col("src").alias("id"),
+            F.lit(1.0).alias("weight"),
+        ).unionByName(custs.where(F.col("src") % 50 == 1).select(
+            F.lit(2).alias("set_id"), F.col("src").alias("id"),
+            (F.col("src") % 7 + 1).cast("double").alias("weight"),
+        ))
+        personalized_pagerank_multi(spark, edges, seeds, k=5).count()
+    run("q_ppr_multi_seed", _ppr)
 
     # training-data toolkit
     run("q_dedup_jaccard", lambda: jaccard_pairs(

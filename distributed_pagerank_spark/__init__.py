@@ -47,6 +47,7 @@ from distributed_pagerank_spark.operators.degrees import (
     vertices_from_edges,
 )
 from distributed_pagerank_spark.plans.pagerank import pagerank, PageRankResult
+from distributed_pagerank_spark.plans.ppr import personalized_pagerank_multi
 from distributed_pagerank_spark.plans.components import connected_components
 from distributed_pagerank_spark.plans.labelprop import label_propagation
 from distributed_pagerank_spark.plans.triangles import triangle_count
@@ -68,6 +69,7 @@ __all__ = [
     "vertices_from_edges",
     "pagerank",
     "PageRankResult",
+    "personalized_pagerank_multi",
     "connected_components",
     "label_propagation",
     "triangle_count",

@@ -1,0 +1,140 @@
+"""Multi-seed personalized PageRank — K personalization vectors in one loop.
+
+Batched PPR is how personalization runs at corpus scale: the expensive
+per-iteration artifacts (the edge ⋈ out-degree product, its scan, and
+its shuffle) are shared across every seed set, so K vectors cost one
+edge pass per iteration plus sparse per-set state — not K independent
+PageRank jobs. The state is keyed ``(set_id, id)`` and is SPARSE: a row
+exists only where a vertex is in the seed support or has received mass
+through an in-edge, so for local seed sets on a large graph the state
+stays a small fraction of |V| per set (it grows with the k-hop
+neighbourhood, not the graph).
+
+Semantics per set (reference damping, ``pkg/graph/pagerank.go:21-45``):
+
+    rank_0(v)   = e(v)                     (the normalized seed vector)
+    rank_i(v)   = c · Σ_{u→v} rank_{i-1}(u) / outdeg(u) + (1−c) · e(v)
+    output      = rank_k / Σ_v rank_k      (per-set normalization)
+
+Dangling mass is dropped each iteration and repaired by the final
+per-set normalization — the reference's semantics, applied per set.
+Fixed iteration count (PPR is usually run with small fixed k); for
+convergence-driven runs and checkpoint/resume use ``plans.pagerank``
+per seed vector.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_pagerank_spark.plans.loop import (
+    loop_conf,
+    release_local_checkpoint,
+    safe_truncate,
+)
+from distributed_pagerank_spark.plans.pagerank import _prepare_edges
+
+
+def personalized_pagerank_multi(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    c: float = 0.85,
+    k: int = 5,
+    num_partitions: int | None = None,
+    dup_policy: str = "reference",
+    truncate_interval: int = 5,
+    metrics_out: list[dict[str, Any]] | None = None,
+) -> DataFrame:
+    """Run ``k`` PPR iterations for every seed set in ``seeds`` at once.
+
+    ``seeds``: ``(set_id, id, weight)`` with ``weight > 0`` — each set is
+    normalized to a distribution internally. Returns ``(set_id, id,
+    rank)`` for the sparse support of each set, per-set normalized.
+
+    Scale shape per iteration: one join of the sparse state against the
+    shared edge product (state side exchanges on ``id`` — the sparse
+    stream, never the edges), one ``(set_id, dst)`` aggregation, and one
+    co-partitioned full-outer against the cached seed vectors. The edge
+    product is built and persisted ONCE for all sets and iterations.
+    """
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    edges_w, _verts, ecnt = _prepare_edges(
+        spark, edges, dup_policy, num_partitions
+    )
+    ecnt.unpersist()  # PPR never needs the vertex set — only edge reach
+
+    # per-set normalized seed vector, pinned on (set_id, id): both the
+    # per-iteration full-outer and the final per-set sum reuse this layout
+    totals = seeds.groupBy("set_id").agg(F.sum("weight").alias("__tot"))
+    e_vec = (
+        seeds.join(F.broadcast(totals), "set_id")
+        .select(
+            "set_id", "id",
+            (F.col("weight").cast("double") / F.col("__tot")).alias("e"),
+        )
+        .repartition(num_partitions, "set_id", "id")
+        .persist()
+    )
+    if e_vec.count() == 0:
+        raise ValueError("empty seeds: no personalization vectors to rank")
+
+    state = e_vec.select("set_id", "id", F.col("e").alias("rank")).persist()
+    state.count()
+
+    metrics = metrics_out if metrics_out is not None else []
+    prev_snapshot, last_truncated, since_truncate = state, None, 0
+
+    with loop_conf(spark):
+        for iteration in range(1, k + 1):
+            t0 = time.monotonic()
+            contribs = (
+                state.join(edges_w, state["id"] == edges_w["src"])
+                .groupBy("set_id", F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") / F.col("out_degree")).alias("__s"))
+            )
+            new_state = (
+                contribs.join(e_vec, ["set_id", "id"], "full_outer")
+                .select(
+                    "set_id", "id",
+                    (
+                        F.lit(c) * F.coalesce(F.col("__s"), F.lit(0.0))
+                        + F.lit(1.0 - c) * F.coalesce(F.col("e"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .persist()
+            )
+            rows = new_state.count()
+            state = new_state
+            if prev_snapshot is not None:
+                release_local_checkpoint(prev_snapshot)
+            prev_snapshot = new_state
+            since_truncate += 1
+            if since_truncate >= truncate_interval and iteration < k:
+                truncated = safe_truncate(spark, state)
+                state.unpersist()
+                state = truncated
+                if last_truncated is not None:
+                    release_local_checkpoint(last_truncated)
+                last_truncated = truncated
+                prev_snapshot = None
+                since_truncate = 0
+            metrics.append(
+                {"iteration": iteration, "state_rows": rows,
+                 "total_s": round(time.monotonic() - t0, 4)}
+            )
+
+    sums = state.groupBy("set_id").agg(F.sum("rank").alias("__sum"))
+    out = (
+        state.join(F.broadcast(sums), "set_id")
+        .select("set_id", "id", (F.col("rank") / F.col("__sum")).alias("rank"))
+    )
+    # the result reads the materialized state cache; inputs can go (a
+    # cache eviction would recompute them from lineage, correctly)
+    edges_w.unpersist()
+    e_vec.unpersist()
+    return out
