@@ -63,6 +63,7 @@ from distributed_pagerank_spark.sources.generator import (
 )
 from distributed_pagerank_spark.plans.labelprop import label_propagation
 from distributed_pagerank_spark.plans.pagerank import pagerank
+from distributed_pagerank_spark.plans.bfs import multi_source_bfs
 from distributed_pagerank_spark.plans.ppr import personalized_pagerank_multi
 from distributed_pagerank_spark.plans.triangles import triangle_count
 from distributed_pagerank_spark.sources.transcripts import (
@@ -275,6 +276,29 @@ nn AS (SELECT count(*) AS n FROM verts){e_cte}{dang_cte},
 r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
 {",".join(iters)}
 SELECT id, {final} AS rank FROM {prev}"""
+
+
+def _bfs_sql(max_depth: int = 3, root_mod: int = 250) -> str:
+    """Unrolled level-synchronous multi-source BFS twin (plans/bfs.py,
+    undirected): per level, frontier ⋈ sym edges, minus the visited set
+    (NOT EXISTS), unioned into the next visited set. Roots = customers
+    with id % root_mod = 0, root == origin."""
+    levels = []
+    for i in range(1, max_depth + 1):
+        levels.append(f"""f{i} AS (
+  SELECT DISTINCT f.root, s.dst AS id, {i} AS dist
+  FROM f{i - 1} f JOIN sym s ON s.src = f.id
+  WHERE NOT EXISTS (SELECT 1 FROM v{i - 1} v
+                    WHERE v.root = f.root AND v.id = s.dst)
+),
+v{i} AS (SELECT * FROM v{i - 1} UNION ALL SELECT * FROM f{i})""")
+    return f"""WITH {_EDGES_CTE},
+{_SYM_CTE},
+roots AS (SELECT DISTINCT src AS id FROM edges WHERE src % {root_mod} = 0),
+f0 AS (SELECT id AS root, id, 0 AS dist FROM roots),
+v0 AS (SELECT * FROM f0),
+{",".join(levels)}
+SELECT root, id, dist FROM v{max_depth}"""
 
 
 def _ppr_multi_sql(k: int = PAGERANK_ITERS, c: float = 0.85) -> str:
@@ -788,6 +812,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("set_id", "id", F.round("rank", 6).alias("rank"))
     q["ppr_multi_seed"] = _q_ppr_multi
 
+    def _q_bfs(s, d):
+        """Multi-source BFS over the undirected customer↔supplier graph:
+        hop distances from every customer with id % 250 == 0, all roots
+        expanded in one loop (plans/bfs.py)."""
+        edges = _graph_edges(s, d)
+        roots = (
+            edges.select("src").distinct()
+            .where(F.col("src") % 250 == 0)
+            .select(F.col("src").alias("root"), F.col("src").alias("id"))
+        )
+        return multi_source_bfs(s, edges, roots, max_depth=3)
+    q["bfs_multi_source"] = _q_bfs
+
     def _q_pagerank_transcripts(s, d):
         # Flagship path over the BASELINE input_hint table shape, now
         # hash-verified: the derived edge table is materialized to a
@@ -1227,6 +1264,7 @@ FROM edges_raw GROUP BY src""",
         "pagerank_k5_salted": _pagerank_sql(),
         "pagerank_k5_redistribute": _pagerank_sql(dangling="redistribute"),
         "ppr_multi_seed": _ppr_multi_sql(),
+        "bfs_multi_source": _bfs_sql(),
         "pagerank_seeded_e": _pagerank_sql(e_seed=7),
         # flagship: unrolled fixed-k PageRank over the parquet edge table
         # the Spark query materialized (the driver runs Spark first)

@@ -22,6 +22,7 @@ from distributed_pagerank_spark.sources.transcripts import (  # noqa: E402
     derive_edges,
     synth_transcripts,
 )
+from distributed_pagerank_spark.plans.bfs import multi_source_bfs  # noqa: E402
 from distributed_pagerank_spark.plans.pagerank import pagerank  # noqa: E402
 from distributed_pagerank_spark.plans.ppr import (  # noqa: E402
     personalized_pagerank_multi,
@@ -118,6 +119,14 @@ def main() -> None:
         ))
         personalized_pagerank_multi(spark, edges, seeds, k=5).count()
     run("q_ppr_multi_seed", _ppr)
+
+    def _bfs():
+        edges = contract._graph_edges(spark, sf_dir)
+        roots = (edges.select("src").distinct()
+                 .where(F.col("src") % 250 == 0)
+                 .select(F.col("src").alias("root"), F.col("src").alias("id")))
+        multi_source_bfs(spark, edges, roots, max_depth=3).count()
+    run("q_bfs_multi_source", _bfs)
 
     # training-data toolkit
     run("q_dedup_jaccard", lambda: jaccard_pairs(

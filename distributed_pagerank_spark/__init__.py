@@ -47,6 +47,7 @@ from distributed_pagerank_spark.operators.degrees import (
     vertices_from_edges,
 )
 from distributed_pagerank_spark.plans.pagerank import pagerank, PageRankResult
+from distributed_pagerank_spark.plans.bfs import multi_source_bfs
 from distributed_pagerank_spark.plans.ppr import personalized_pagerank_multi
 from distributed_pagerank_spark.plans.components import connected_components
 from distributed_pagerank_spark.plans.labelprop import label_propagation
@@ -70,6 +71,7 @@ __all__ = [
     "pagerank",
     "PageRankResult",
     "personalized_pagerank_multi",
+    "multi_source_bfs",
     "connected_components",
     "label_propagation",
     "triangle_count",
