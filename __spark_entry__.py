@@ -742,6 +742,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id", "out_degree"
     )
 
+    # degree distribution — the first thing anyone computes on a new link
+    # graph, and the skew diagnostic that decides salting thresholds. Two
+    # map-side-combined aggregations, no joins.
+    q["degree_histogram"] = lambda s, d: (
+        _graph_edges(s, d)
+        .groupBy("src").agg(F.count("*").alias("out_degree"))
+        .groupBy("out_degree").agg(F.count("*").alias("n_vertices"))
+    )
+
     # S4 duplicate-edge policy quirk (reference graph.go:51-99: duplicate
     # input lines inflate the out-degree but store one in-link). The RAW
     # orders ⋈ lineitem pair stream has genuine duplicates (a customer
@@ -1253,6 +1262,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_edges": f"WITH {_EDGES_CTE} SELECT src, dst FROM edges",
         "out_degree": f"""WITH {_EDGES_CTE}
 SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src""",
+        "degree_histogram": f"""WITH {_EDGES_CTE},
+deg AS (SELECT src, count(*) AS out_degree FROM edges GROUP BY src)
+SELECT out_degree, count(*) AS n_vertices FROM deg GROUP BY out_degree""",
         # raw (non-distinct) pair stream: 'reference' counts duplicate
         # lines (graph.go:78), 'distinct' collapses (src,dst) pairs first
         "out_degree_dup_reference": f"""WITH {_RAW_EDGES_CTE}

@@ -92,6 +92,21 @@ def test_edgelist_reader(spark, tmp_path):
     assert got == [(0, 1), (1, 2), (2, 3)]
 
 
+def test_edgelist_reader_gzip_transparent(spark, tmp_path):
+    """Crawl dumps ship gzipped; spark.read.text decompresses by
+    extension, so the same reader ingests .gz shards with identical
+    parse semantics (each .gz file is one split — fine for the
+    many-shards layout crawls actually use)."""
+    import gzip
+
+    body = "# c\n0 1\n1,2\n2 3\n"
+    p = tmp_path / "g.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(body)
+    got = sorted(map(tuple, read_edge_list(spark, str(p)).collect()))
+    assert got == [(0, 1), (1, 2), (2, 3)]
+
+
 def test_http_edgelist_matches_file_reader(spark, tmp_path):
     """LoadGraphResource parity (graph.go:19-33): HTTP fetch parses
     byte-identically to the file reader."""
