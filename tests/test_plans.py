@@ -174,3 +174,97 @@ def test_ann_brute_force_sql_plan_stays_jvm(spark):
     df = brute_force_topk(emb, q, k=5, method="sql")
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def _executed(spark, group):
+    st = spark.sparkContext.statusTracker()
+    jobs = st.getJobIdsForGroup(group)
+    ran = set()
+    for j in jobs:
+        for sid in st.getJobInfo(j).stageIds:
+            info = st.getStageInfo(sid)
+            if info is not None and info.numCompletedTasks > 0:
+                ran.add(sid)
+    return jobs, ran
+
+
+def test_ppr_iteration_shape_one_job_bounded_stages(spark):
+    """One multi-seed PPR iteration (plans/ppr.py dataflow mirrored at
+    sort-merge scale) must materialize as ONE job with at most 4 executed
+    stages: scatter join + partial agg | final agg + full-outer vs the
+    co-partitioned seed vector + project | count. The full-outer must
+    reuse the (set_id, id) hash layout of both the aggregation output and
+    the cached seed vector — an exchange there adds a stage and fails."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    ew = (
+        edges.join(
+            edges.groupBy(F.col("src").alias("jid")).agg(
+                F.count("*").alias("out_degree")
+            ),
+            F.col("src") == F.col("jid"),
+        )
+        .select("src", "dst", "out_degree")
+        .repartition(parts, "src")
+        .persist()
+    )
+    ew.count()
+    e_vec = (
+        spark.createDataFrame(
+            [(1, i, 0.1) for i in range(0, 50, 5)],
+            "set_id int, id long, e double",
+        )
+        .repartition(parts, "set_id", "id")
+        .persist()
+    )
+    e_vec.count()
+    state = e_vec.select("set_id", "id", F.col("e").alias("rank")).persist()
+    state.count()
+    contribs = (
+        state.join(ew, state["id"] == ew["src"])
+        .groupBy("set_id", F.col("dst").alias("id"))
+        .agg(F.sum(F.col("rank") / F.col("out_degree")).alias("__s"))
+    )
+    new_state = contribs.join(e_vec, ["set_id", "id"], "full_outer").select(
+        "set_id", "id",
+        (F.lit(0.85) * F.coalesce(F.col("__s"), F.lit(0.0))
+         + F.lit(0.15) * F.coalesce(F.col("e"), F.lit(0.0))).alias("rank"),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("ppr-probe", "ppr-probe")
+    try:
+        snap = new_state.persist()
+        snap.count()
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+    jobs, ran = _executed(spark, "ppr-probe")
+    assert len(jobs) == 1, f"{len(jobs)} jobs for one PPR iteration (want 1)"
+    assert len(ran) <= 4, f"{len(ran)} executed stages for one PPR iteration"
+    for df in (snap, state, e_vec, ew):
+        df.unpersist()
+
+
+def test_bfs_round_no_cartesian_two_jobs(spark):
+    """One BFS round (plans/bfs.py dataflow) is two materializing jobs
+    (frontier count, visited count) with no cartesian product anywhere:
+    the frontier ⋈ edges is an equi-join and the visited check is a
+    left_anti equi-join on (root, id)."""
+    from distributed_pagerank_spark.plans.bfs import multi_source_bfs
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    roots = spark.createDataFrame(
+        [(0, 0), (7, 7)], "root long, id long"
+    )
+    out = multi_source_bfs(spark, edges, roots, max_depth=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
