@@ -4,15 +4,15 @@ Judge criterion (VERDICT round 2, item 7): steady median >= 0.8 in a
 single campaign, OR >= 30 pooled steady samples per level with the
 min/amortized conclusions unchanged. The round-2 campaign contributed 18
 steady samples per level, the round-3 campaign 40, the confirm pair 8,
-and the round-4 steal-monitored pair 8; all ran the IDENTICAL protocol
-on the IDENTICAL input (n_convs=11.2M,
+and the two round-4 steal-monitored pairs 8 each; all ran the IDENTICAL
+protocol on the IDENTICAL input (n_convs=11.2M,
 seed=42, 85,121,530 edges — asserted below), interleaved fresh-JVM legs
 with warmup discard, so their steady-state per-iteration samples are
 drawn from the same population and pooling is legitimate. Truncation
 (checkpoint) iterations pool the same way for the amortized statistic.
 
 Usage:
-    python tools/pool_scaling.py [result.json ...]   # default: all four
+    python tools/pool_scaling.py [result.json ...]   # default: all five
 Writes BENCH/scaling_pooled.json and prints the summary line.
 """
 
@@ -27,6 +27,7 @@ DEFAULT_INPUTS = [
     "/root/repo/BENCH/scaling_result_r3.json",
     "/root/repo/BENCH/scaling_result_confirm85.json",
     "/root/repo/BENCH/scaling_result_quiet_r4.json",
+    "/root/repo/BENCH/scaling_result_pair2_r4.json",
 ]
 
 
