@@ -181,6 +181,12 @@ _EDGES_CTE = f"""edges AS (
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 )"""
 
+_SPARSE_EDGES_CTE = f"""edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {SUPP_OFFSET} AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_custkey % 10 = l.l_suppkey % 10
+)"""
+
 _RAW_EDGES_CTE = f"""edges_raw AS (
   SELECT o.o_custkey AS src, l.l_suppkey + {SUPP_OFFSET} AS dst
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -904,6 +910,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _graph_edges(s, d), max_iter=CC_ITERS, algorithm="hashmin"
     )
 
+    # the connectivity report every web-graph analysis starts with:
+    # component-size distribution (how many components of each size) —
+    # CC fixpoint + two map-side-combined aggregations. The full
+    # customer↔supplier graph is ONE giant component (a vacuous
+    # histogram — the ~66 sf0.01 suppliers connect everything), so this
+    # runs on the stratified slice (o_custkey % 10 = l_suppkey % 10):
+    # edges never cross strata, so the graph provably fragments.
+    def _q_component_sizes(s, d):
+        o = _t(s, d, "orders").select("o_orderkey", "o_custkey")
+        l = _t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        sparse = (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .where(F.col("o_custkey") % 10 == F.col("l_suppkey") % 10)
+            .select(
+                F.col("o_custkey").cast("long").alias("src"),
+                (F.col("l_suppkey") + SUPP_OFFSET).cast("long").alias("dst"),
+            )
+            .distinct()
+        )
+        return (
+            connected_components(
+                s, sparse, max_iter=CC_ITERS, algorithm="hashmin"
+            )
+            .groupBy("component").agg(F.count("*").alias("size"))
+            .groupBy("size").agg(F.count("*").alias("n_components"))
+        )
+    q["component_size_histogram"] = _q_component_sizes
+
     # the DEFAULT hybrid path, driver-verified: run to the fixpoint (the
     # sf graph converges well inside CC_ITERS hash-min rounds, so the
     # unrolled k-round twin has already reached the same fixpoint)
@@ -1300,6 +1334,10 @@ FROM p
 WHERE try_cast(p[1] AS BIGINT) IS NOT NULL
   AND try_cast(p[2] AS BIGINT) IS NOT NULL""",
         "connected_components": _cc_sql(),
+        "component_size_histogram": f"""WITH cc AS (
+{_cc_sql().replace(_EDGES_CTE, _SPARSE_EDGES_CTE)}),
+sizes AS (SELECT component, count(*) AS size FROM cc GROUP BY component)
+SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "connected_components_hybrid": _cc_sql(),
         "label_propagation_k3": _lpa_sql(),
         "triangle_count": _TRIANGLES_SQL,
