@@ -56,6 +56,7 @@ from distributed_pagerank_spark.operators.similarity import (
     seeded_centroids,
 )
 from distributed_pagerank_spark.plans.components import connected_components
+from distributed_pagerank_spark.plans.hits import hits
 from distributed_pagerank_spark.sources.edgelist import read_edge_list_http
 from distributed_pagerank_spark.sources.generator import (
     generate_graph,
@@ -83,6 +84,7 @@ PAGERANK_ITERS = 5
 TRANSCRIPT_PR_ITERS = 8  # fixed-k so the unrolled SQL twin does identical work
 CC_ITERS = 8
 LPA_ROUNDS = 3
+HITS_ITERS = 8
 GEN_N, GEN_MAX_EDGES, GEN_SEED = 500, 5, 11  # generated_graph parameters
 EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
 IVF_CENTROIDS = 8  # IVF cells for the contract-scale corpus (500 vecs)
@@ -345,6 +347,51 @@ r0 AS (SELECT set_id, id, e AS rank FROM ev),
 SELECT set_id, id,
        round(rank / sum(rank) OVER (PARTITION BY set_id), 6) AS rank
 FROM {prev}"""
+
+
+def _hits_sql(k: int = HITS_ITERS) -> str:
+    """Unrolled k-round HITS twin (plans/hits.py): per round, auth = Eᵀ·hub
+    then L1-normalize, hub = E·auth then L1-normalize. The engine computes
+    hub from the UN-normalized auth and normalizes afterwards — exactly
+    equal (the scalar cancels), so this normalize-each-step SQL is an
+    exact twin, not an approximation."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, k + 1):
+        # window-function normalization: each round CTE references its
+        # predecessor exactly ONCE. A scalar `(SELECT sum(..) FROM prev)`
+        # would reference the previous CTE twice, and DuckDB inlines CTE
+        # chains — the expanded plan doubles per round, a 2^k blowup.
+        steps.append(f"""a{i} AS (
+  SELECT v.id,
+         coalesce(s.s, 0) / sum(coalesce(s.s, 0)) OVER () AS auth
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(h.hub) AS s
+    FROM edges e JOIN {prev_h} h ON e.src = h.id GROUP BY e.dst
+  ) s ON v.id = s.id
+),
+h{i} AS (
+  SELECT v.id,
+         coalesce(s.s, 0) / sum(coalesce(s.s, 0)) OVER () AS hub
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS id, sum(a.auth) AS s
+    FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
+  ) s ON v.id = s.id
+)""")
+        prev_h = f"h{i}"
+    # MATERIALIZED: DuckDB inlines CTEs by default, so the 2k round
+    # subqueries would re-expand edges/verts into ~6k parquet scans of
+    # orders⋈lineitem — blowing the open-file limit. Materializing the two
+    # base CTEs makes every round read the in-memory table instead.
+    edges_mat = _EDGES_CTE.replace("edges AS (", "edges AS MATERIALIZED (", 1)
+    verts_mat = _VERTS_CTE.replace("verts AS (", "verts AS MATERIALIZED (", 1)
+    return f"""WITH {edges_mat},
+{verts_mat},
+nn AS (SELECT count(*) AS n FROM verts),
+h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts),
+{",".join(steps)}
+SELECT a.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM a{k} a JOIN h{k} h ON a.id = h.id"""
 
 
 _TRANSCRIPT_EDGES_CTE = (
@@ -945,6 +992,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _graph_edges(s, d), max_iter=50
     )
 
+    def _q_hits(s, d):
+        """HITS hubs & authorities over the directed customer→supplier
+        graph (plans/hits.py): customers score as hubs, suppliers as
+        authorities — the natural bipartite mutual-reinforcement demo."""
+        res = hits(s, _graph_edges(s, d), max_iter=HITS_ITERS)
+        return res.scores.select(
+            "id",
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+    q["hits_k8"] = _q_hits
+
     q["label_propagation_k3"] = lambda s, d: label_propagation(
         s, _graph_edges(s, d), rounds=LPA_ROUNDS
     )
@@ -1339,6 +1398,7 @@ WHERE try_cast(p[1] AS BIGINT) IS NOT NULL
 sizes AS (SELECT component, count(*) AS size FROM cc GROUP BY component)
 SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "connected_components_hybrid": _cc_sql(),
+        "hits_k8": _hits_sql(),
         "label_propagation_k3": _lpa_sql(),
         "triangle_count": _TRIANGLES_SQL,
         "tpch_q1": """SELECT l_returnflag, l_linestatus,
