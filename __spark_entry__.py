@@ -57,6 +57,7 @@ from distributed_pagerank_spark.operators.similarity import (
 )
 from distributed_pagerank_spark.plans.components import connected_components
 from distributed_pagerank_spark.plans.hits import hits
+from distributed_pagerank_spark.plans.kcore import k_core
 from distributed_pagerank_spark.sources.edgelist import read_edge_list_http
 from distributed_pagerank_spark.sources.generator import (
     generate_graph,
@@ -66,7 +67,10 @@ from distributed_pagerank_spark.plans.labelprop import label_propagation
 from distributed_pagerank_spark.plans.pagerank import pagerank
 from distributed_pagerank_spark.plans.bfs import multi_source_bfs
 from distributed_pagerank_spark.plans.ppr import personalized_pagerank_multi
-from distributed_pagerank_spark.plans.triangles import triangle_count
+from distributed_pagerank_spark.plans.triangles import (
+    local_clustering_coefficient,
+    triangle_count,
+)
 from distributed_pagerank_spark.sources.transcripts import (
     derive_edges,
     synth_transcripts,
@@ -85,6 +89,8 @@ TRANSCRIPT_PR_ITERS = 8  # fixed-k so the unrolled SQL twin does identical work
 CC_ITERS = 8
 LPA_ROUNDS = 3
 HITS_ITERS = 8
+KCORE_K = 3  # k-core order on the stratified slice (non-vacuous: ~30% peels)
+KCORE_UNROLL = 6  # oracle peel rounds; fixpoint measured at 2, margin 3×
 GEN_N, GEN_MAX_EDGES, GEN_SEED = 500, 5, 11  # generated_graph parameters
 EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
 IVF_CENTROIDS = 8  # IVF cells for the contract-scale corpus (500 vecs)
@@ -203,6 +209,24 @@ _SYM_CTE = """sym AS (
   UNION
   SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
 )"""
+
+
+def _sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified slice of the customer→supplier graph (edges never cross
+    ``custkey % 10 == suppkey % 10`` strata) — the provably-fragmenting /
+    partially-peelable surface used where the full graph is too connected
+    to be non-vacuous (component sizes, k-core)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .where(F.col("o_custkey") % 10 == F.col("l_suppkey") % 10)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
 
 
 def _supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,6 +416,61 @@ h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts),
 {",".join(steps)}
 SELECT a.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
 FROM a{k} a JOIN h{k} h ON a.id = h.id"""
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_UNROLL) -> str:
+    """Unrolled peel twin (plans/kcore.py) on the stratified slice:
+    per round, drop vertices of degree < k from the symmetrized edge set.
+    Extra rounds past the fixpoint are idempotent, so the unroll count
+    only needs to be ≥ the peel depth. Every intermediate CTE is
+    MATERIALIZED: each round references its predecessor three times
+    (degree agg + two NOT-IN endpoints), and DuckDB's default inlining
+    would expand the plan 3^rounds."""
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""r{i} AS MATERIALIZED (
+  SELECT src AS id FROM {prev} GROUP BY src HAVING count(*) < {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE e.src NOT IN (SELECT id FROM r{i})
+    AND e.dst NOT IN (SELECT id FROM r{i})
+)""")
+        prev = f"e{i}"
+    return f"""WITH {_SPARSE_EDGES_CTE.replace("edges AS (", "edges AS MATERIALIZED (", 1)},
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+),
+{",".join(steps)}
+SELECT src AS id, count(*) AS degree FROM {prev} GROUP BY src"""
+
+
+def _clustering_sql(n: int, max_edges: int, seed: int) -> str:
+    """Local clustering coefficient twin on the generated graph: exact
+    per-vertex triangle attribution via the src<dst-oriented triple join
+    (each unordered triangle enumerated once — same set the engine's
+    degree-ordered compact-forward emits, plans/triangles.py)."""
+    return f"""WITH gedges AS MATERIALIZED ({_gen_graph_sql(n, max_edges, seed)}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM gedges WHERE src <> dst
+),
+tri AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+        FROM und x JOIN und y ON x.dst = y.src
+                   JOIN und z ON z.src = x.src AND z.dst = y.dst),
+corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+tc AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id),
+deg AS (SELECT id, count(*) AS degree FROM (
+  SELECT src AS id FROM und UNION ALL SELECT dst FROM und) GROUP BY id)
+SELECT d.id, d.degree, coalesce(t.triangles, 0) AS triangles,
+       round(CASE WHEN d.degree < 2 THEN 0.0
+             ELSE 2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+             END, 6) AS clustering
+FROM deg d LEFT JOIN tc t ON d.id = t.id"""
 
 
 _TRANSCRIPT_EDGES_CTE = (
@@ -965,20 +1044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs on the stratified slice (o_custkey % 10 = l_suppkey % 10):
     # edges never cross strata, so the graph provably fragments.
     def _q_component_sizes(s, d):
-        o = _t(s, d, "orders").select("o_orderkey", "o_custkey")
-        l = _t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-        sparse = (
-            o.join(l, o["o_orderkey"] == l["l_orderkey"])
-            .where(F.col("o_custkey") % 10 == F.col("l_suppkey") % 10)
-            .select(
-                F.col("o_custkey").cast("long").alias("src"),
-                (F.col("l_suppkey") + SUPP_OFFSET).cast("long").alias("dst"),
-            )
-            .distinct()
-        )
         return (
             connected_components(
-                s, sparse, max_iter=CC_ITERS, algorithm="hashmin"
+                s, _sparse_edges(s, d), max_iter=CC_ITERS, algorithm="hashmin"
             )
             .groupBy("component").agg(F.count("*").alias("size"))
             .groupBy("size").agg(F.count("*").alias("n_components"))
@@ -1009,6 +1077,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["triangle_count"] = lambda s, d: triangle_count(s, _supplier_pairs(s, d))
+
+    def _q_clustering(s, d):
+        """Per-vertex local clustering coefficient on the seeded generated
+        graph (the supplier co-occurrence graph is complete at small sf —
+        coefficient 1.0 everywhere — and the customer→supplier graph is
+        bipartite: no triangles at all; the random graph is the
+        non-vacuous surface)."""
+        g = generate_graph(
+            s, n=GEN_N, max_edges=GEN_MAX_EDGES, seed=GEN_SEED, hash_fn="md5"
+        )
+        return local_clustering_coefficient(s, g).select(
+            "id", "degree", "triangles",
+            F.round("clustering", 6).alias("clustering"),
+        )
+    q["clustering_coefficient"] = _q_clustering
+
+    # k-core on the stratified slice (the full graph's min degree is
+    # already ≥ 1 everywhere and highly connected; the slice peels ~30%
+    # of vertices at k=3, exercising the cascade)
+    q["k_core"] = lambda s, d: k_core(s, _sparse_edges(s, d), k=KCORE_K)
 
     # --- relational / analytics --------------------------------------
     def _q_tpch_q1(s, d):
@@ -1401,6 +1489,10 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "hits_k8": _hits_sql(),
         "label_propagation_k3": _lpa_sql(),
         "triangle_count": _TRIANGLES_SQL,
+        "clustering_coefficient": _clustering_sql(
+            GEN_N, GEN_MAX_EDGES, GEN_SEED
+        ),
+        "k_core": _kcore_sql(),
         "tpch_q1": """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base,

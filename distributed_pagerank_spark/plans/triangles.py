@@ -46,6 +46,85 @@ def oriented_edges(edges: DataFrame, _sym: DataFrame | None = None) -> DataFrame
     ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
 
 
+def triangle_rows(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Enumerate each undirected triangle exactly once → ``(a, b, c)``.
+
+    Compact-forward over the degree-ordered orientation: for every
+    oriented edge ``(a, b)``, the third corners are
+    ``N⁺(a) ∩ N⁺(b)`` — exploded instead of counted (triangle_count's
+    per-edge ``size()``), so downstream per-vertex statistics can
+    attribute each triangle to its three corners. Rows out = triangle
+    count; the degree ordering bounds every adjacency list at O(√m), so
+    the explode is skew-safe on power-law graphs.
+    """
+    sym = symmetrize(edges).persist()
+    o = oriented_edges(edges, _sym=sym).persist()
+    o.count()
+    sym.unpersist()
+    adj = o.groupBy(F.col("a").alias("v")).agg(F.collect_list("b").alias("nbrs"))
+    with_a = o.join(adj, o["a"] == adj["v"]).select(
+        "a", "b", F.col("nbrs").alias("na")
+    )
+    tris = (
+        with_a.join(adj, with_a["b"] == adj["v"], "left")
+        .select(
+            "a",
+            "b",
+            F.explode(
+                F.array_intersect(
+                    "na", F.coalesce("nbrs", F.array().cast("array<long>"))
+                )
+            ).alias("c"),
+        )
+    )
+    out = tris.localCheckpoint(eager=True)
+    o.unpersist()
+    return out
+
+
+def local_clustering_coefficient(
+    spark: SparkSession, edges: DataFrame
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph → ``(id, degree, triangles, clustering)``.
+
+    ``clustering(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`` — the fraction of
+    a vertex's neighbor pairs that are themselves connected; 0.0 for
+    degree < 2. ``tri(v)`` attributes each enumerated triangle to its
+    three corners (one explode + one map-side-combined count); degree is
+    one aggregation over the symmetrized table. No reference counterpart
+    (the reference computes only PageRank); standard definition, exact.
+    """
+    sym = symmetrize(edges).persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree")
+    )
+    corners = (
+        triangle_rows(spark, sym)
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = (
+        deg.join(corners, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1.0))
+            )
+            .alias("clustering"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sym.unpersist()
+    return out
+
+
 def triangle_count(
     spark: SparkSession, edges: DataFrame, algorithm: str = "intersect"
 ) -> DataFrame:

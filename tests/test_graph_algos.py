@@ -162,3 +162,59 @@ def test_components_keeps_self_loop_only_vertices(spark):
     got = {r["id"]: r["component"] for r in
            connected_components(spark, edges_df(spark, pairs)).collect()}
     assert got == {0: 0, 1: 0, 7: 7}
+
+
+def brute_clustering(pairs):
+    """NumPy-free ground truth for the local clustering coefficient."""
+    und = set()
+    for s, d in pairs:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    for v, ns in nbrs.items():
+        d = len(ns)
+        t = sum(
+            1 for a in ns for b in ns if a < b and (min(a, b), max(a, b)) in und
+        ) // 1
+        out[v] = (d, t, 0.0 if d < 2 else 2.0 * t / (d * (d - 1)))
+    return out
+
+
+def test_clustering_coefficient_fixture(spark):
+    from distributed_pagerank_spark.plans.triangles import (
+        local_clustering_coefficient,
+    )
+    pairs = ALL_FIXTURES["triangle_plus"]
+    rows = local_clustering_coefficient(spark, edges_df(spark, pairs)).collect()
+    got = {r["id"]: (r["degree"], r["triangles"], r["clustering"]) for r in rows}
+    # triangle (0,1,2) plus pendant edge 2-3
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2][0] == 3 and got[2][1] == 1
+    assert got[2][2] == pytest.approx(1.0 / 3.0)
+    assert got[3] == (1, 0, 0.0)
+
+
+def test_clustering_coefficient_generated(spark):
+    from distributed_pagerank_spark.plans.triangles import (
+        local_clustering_coefficient,
+        triangle_rows,
+    )
+    edges = generate_graph(spark, 40, max_edges=6, seed=3)
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    want = brute_clustering(pairs)
+    rows = local_clustering_coefficient(spark, edges).collect()
+    got = {r["id"]: (r["degree"], r["triangles"], r["clustering"]) for r in rows}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == want[v][0], v
+        assert got[v][1] == want[v][1], v
+        assert got[v][2] == pytest.approx(want[v][2]), v
+    # corner-sum invariant: Σ per-vertex triangles == 3 × triangle count
+    n_tri = triangle_rows(spark, edges).count()
+    assert sum(t for _, t, _ in got.values()) == 3 * n_tri
+    assert n_tri == brute_triangles(pairs)
