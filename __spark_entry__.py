@@ -58,6 +58,11 @@ from distributed_pagerank_spark.operators.similarity import (
 from distributed_pagerank_spark.plans.components import connected_components
 from distributed_pagerank_spark.plans.hits import hits
 from distributed_pagerank_spark.plans.kcore import k_core
+from distributed_pagerank_spark.operators.linkpred import link_prediction
+from distributed_pagerank_spark.operators.graphstats import (
+    degree_assortativity,
+    reciprocity,
+)
 from distributed_pagerank_spark.sources.edgelist import read_edge_list_http
 from distributed_pagerank_spark.sources.generator import (
     generate_graph,
@@ -91,6 +96,7 @@ LPA_ROUNDS = 3
 HITS_ITERS = 8
 KCORE_K = 3  # k-core order on the stratified slice (non-vacuous: ~30% peels)
 KCORE_UNROLL = 6  # oracle peel rounds; fixpoint measured at 2, margin 3×
+LINKPRED_TOPK = 5
 GEN_N, GEN_MAX_EDGES, GEN_SEED = 500, 5, 11  # generated_graph parameters
 EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
 IVF_CENTROIDS = 8  # IVF cells for the contract-scale corpus (500 vecs)
@@ -373,6 +379,40 @@ SELECT set_id, id,
 FROM {prev}"""
 
 
+def _weighted_pagerank_sql(k: int = PAGERANK_ITERS, c: float = 0.85) -> str:
+    """Weighted-transition PageRank twin: edge weight = duplicate-edge
+    multiplicity of the raw orders⋈lineitem pair stream, transition =
+    w / out-strength (plans/pagerank.py weight_col path); dangling mass
+    dropped per iteration + one-shot final normalization, like the
+    unweighted reference semantics."""
+    iters = []
+    prev = "r0"
+    for i in range(1, k + 1):
+        iters.append(f"""r{i} AS (
+  SELECT v.id,
+         {c} * coalesce(s.s, 0) + {1.0 - c} * (1.0 / (SELECT n FROM nn)) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank * e.w / d.strength) AS s
+    FROM ew e JOIN {prev} r ON e.src = r.id
+              JOIN deg d ON e.src = d.id
+    GROUP BY e.dst
+  ) s ON v.id = s.id
+)""")
+        prev = f"r{i}"
+    return f"""WITH {_RAW_EDGES_CTE},
+ew AS MATERIALIZED (
+  SELECT src, dst, count(*)::DOUBLE AS w FROM edges_raw GROUP BY src, dst
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM ew UNION SELECT DISTINCT dst FROM ew
+),
+deg AS MATERIALIZED (SELECT src AS id, sum(w) AS strength FROM ew GROUP BY src),
+nn AS (SELECT count(*) AS n FROM verts),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+{",".join(iters)}
+SELECT id, round(rank / (SELECT sum(rank) FROM {prev}), 6) AS rank FROM {prev}"""
+
+
 def _hits_sql(k: int = HITS_ITERS) -> str:
     """Unrolled k-round HITS twin (plans/hits.py): per round, auth = Eᵀ·hub
     then L1-normalize, hub = E·auth then L1-normalize. The engine computes
@@ -446,6 +486,44 @@ e0 AS MATERIALIZED (
 ),
 {",".join(steps)}
 SELECT src AS id, count(*) AS degree FROM {prev} GROUP BY src"""
+
+
+def _linkpred_sql(top_k: int = LINKPRED_TOPK) -> str:
+    """Adamic–Adar twin on the stratified slice (operators/linkpred.py).
+    Ranks on the 6-dp-ROUNDED score (same rounding the hash compare
+    uses): the raw score is a float sum whose summation order differs
+    between engines, so ranking on the raw value could flip near-ties."""
+    return f"""WITH {_SPARSE_EDGES_CTE.replace("edges AS (", "edges AS MATERIALIZED (", 1)},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src),
+mid AS MATERIALIZED (
+  SELECT s.src AS w, s.dst AS e, d.degree AS wdeg
+  FROM sym s JOIN deg d ON s.src = d.id
+),
+wedges AS (
+  SELECT a.e AS u, b.e AS v, a.wdeg
+  FROM mid a JOIN mid b ON a.w = b.w WHERE a.e < b.e
+),
+cand AS (
+  SELECT w.u, w.v, w.wdeg FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = w.u AND e.dst = w.v)
+),
+scored AS (
+  SELECT u, v, count(*)::BIGINT AS common,
+         round(sum(1.0 / ln(wdeg)), 6) AS score
+  FROM cand GROUP BY u, v
+),
+ranked AS (
+  SELECT u, v, common, score,
+         row_number() OVER (PARTITION BY u
+                            ORDER BY score DESC, v ASC) AS rank
+  FROM scored
+)
+SELECT u, v, common, score, rank FROM ranked WHERE rank <= {top_k}"""
 
 
 def _clustering_sql(n: int, max_edges: int, seed: int) -> str:
@@ -925,6 +1003,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
     q["pagerank_k5_redistribute"] = _q_pagerank_redistribute
 
+    def _q_pagerank_weighted(s, d):
+        """Weighted PageRank: edge weight = how often the customer
+        ordered from the supplier (duplicate multiplicity of the raw
+        pair stream), transition probability w / out-strength."""
+        raw = _raw_edges(s, d).withColumn("w", F.lit(1.0))
+        res = pagerank(s, raw, c=0.85, eps=0.0, max_iter=PAGERANK_ITERS,
+                       weight_col="w")
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    q["pagerank_k5_weighted"] = _q_pagerank_weighted
+
     def _q_ppr_multi(s, d):
         """Multi-seed personalized PageRank: two seed sets over the
         customer→supplier graph ranked in ONE loop (shared edge product,
@@ -1097,6 +1185,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already ≥ 1 everywhere and highly connected; the slice peels ~30%
     # of vertices at k=3, exercising the cascade)
     q["k_core"] = lambda s, d: k_core(s, _sparse_edges(s, d), k=KCORE_K)
+
+    def _q_linkpred(s, d):
+        """Adamic–Adar link prediction on the stratified slice: top-5
+        predicted (customer, customer) / (supplier, supplier) links per
+        vertex. Ranked on the 6-dp-rounded score (see _linkpred_sql)."""
+        out = link_prediction(
+            s, _sparse_edges(s, d), method="adamic_adar", top_k=10**9
+        )
+        w = Window.partitionBy("u").orderBy(
+            F.desc(F.round("score", 6)), F.asc("v")
+        )
+        return (
+            out.select("u", "v", "common", F.round("score", 6).alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= LINKPRED_TOPK)
+        )
+    q["link_prediction_aa"] = _q_linkpred
+
+    # whole-graph diagnostics (operators/graphstats.py): reciprocity on
+    # the generated graph (the TPC-H-derived graphs are one-way bipartite
+    # — identically zero), assortativity on the full bipartite graph
+    # (strongly negative: customers of few suppliers buy from hub
+    # suppliers)
+    def _q_reciprocity(s, d):
+        g = generate_graph(
+            s, n=GEN_N, max_edges=GEN_MAX_EDGES, seed=GEN_SEED, hash_fn="md5"
+        )
+        return reciprocity(s, g).select(
+            "reciprocal_edges", "total_edges",
+            F.round("reciprocity", 6).alias("reciprocity"),
+        )
+    q["graph_reciprocity"] = _q_reciprocity
+
+    q["degree_assortativity"] = lambda s, d: degree_assortativity(
+        s, _graph_edges(s, d)
+    ).select(F.round("assortativity", 6).alias("assortativity"))
 
     # --- relational / analytics --------------------------------------
     def _q_tpch_q1(s, d):
@@ -1456,6 +1580,7 @@ FROM edges_raw GROUP BY src""",
         "pagerank_k5": _pagerank_sql(),
         "pagerank_k5_salted": _pagerank_sql(),
         "pagerank_k5_redistribute": _pagerank_sql(dangling="redistribute"),
+        "pagerank_k5_weighted": _weighted_pagerank_sql(),
         "ppr_multi_seed": _ppr_multi_sql(),
         "bfs_multi_source": _bfs_sql(),
         "pagerank_seeded_e": _pagerank_sql(e_seed=7),
@@ -1493,6 +1618,32 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
             GEN_N, GEN_MAX_EDGES, GEN_SEED
         ),
         "k_core": _kcore_sql(),
+        "link_prediction_aa": _linkpred_sql(),
+        "graph_reciprocity": f"""WITH g AS MATERIALIZED ({_gen_graph_sql(GEN_N, GEN_MAX_EDGES, GEN_SEED)}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+m AS (
+  SELECT count(*) AS total,
+         coalesce(sum(CASE WHEN EXISTS (
+           SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+         ) THEN 1 ELSE 0 END), 0) AS recip
+  FROM e
+)
+SELECT recip::BIGINT AS reciprocal_edges, total::BIGINT AS total_edges,
+       round(CASE WHEN total = 0 THEN 0.0
+             ELSE recip::DOUBLE / total END, 6) AS reciprocity
+FROM m""",
+        "degree_assortativity": f"""WITH {_EDGES_CTE},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+j AS (
+  SELECT d1.deg AS du, d2.deg AS dv
+  FROM sym s JOIN deg d1 ON s.src = d1.id JOIN deg d2 ON s.dst = d2.id
+)
+SELECT round(corr(du, dv), 6) AS assortativity FROM j""",
         "tpch_q1": """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base,

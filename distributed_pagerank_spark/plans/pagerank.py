@@ -64,6 +64,7 @@ def _prepare_edges(
     edges: DataFrame,
     dup_policy: str,
     num_partitions: int,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Static per-run edge product: (src, dst, out_degree), partitioned by
     src and persisted. The in-link side dedups duplicates in both policies
@@ -81,19 +82,36 @@ def _prepare_edges(
     Returns ``(edge_product, vertices, cached_distinct_edges)``; the caller
     unpersists the third once the vertex-derived state is materialized.
     """
-    ecnt = (
-        edges.groupBy("src", "dst")
-        .agg(F.count("*").alias("__cnt"))
-        .persist()
-    )
-    deg_agg = F.sum("__cnt") if dup_policy == "reference" else F.count("*")
-    deg = ecnt.groupBy(F.col("src").alias("id")).agg(
-        deg_agg.cast("long").alias("out_degree")
-    )
-    e = ecnt.select("src", "dst")
+    if weight_col is not None:
+        # weighted graph: duplicate (src, dst) rows merge by SUMMING their
+        # weights; the normalizer is the src's total out-weight (strength),
+        # so the transition column is w / strength — dup_policy does not
+        # apply (weights subsume multiplicity)
+        ecnt = (
+            edges.groupBy("src", "dst")
+            .agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
+            .persist()
+        )
+        deg = ecnt.groupBy(F.col("src").alias("id")).agg(
+            F.sum("__w").alias("out_degree")
+        )
+        e = ecnt.select("src", "dst", "__w")
+        edge_cols = ["src", "dst", "__w", "out_degree"]
+    else:
+        ecnt = (
+            edges.groupBy("src", "dst")
+            .agg(F.count("*").alias("__cnt"))
+            .persist()
+        )
+        deg_agg = F.sum("__cnt") if dup_policy == "reference" else F.count("*")
+        deg = ecnt.groupBy(F.col("src").alias("id")).agg(
+            deg_agg.cast("long").alias("out_degree")
+        )
+        e = ecnt.select("src", "dst")
+        edge_cols = ["src", "dst", "out_degree"]
     ew = (
         e.join(deg, e["src"] == deg["id"])
-        .select("src", "dst", "out_degree")
+        .select(*edge_cols)
         .repartition(num_partitions, "src")
         .sortWithinPartitions("src")  # CSR-style: sort-merge joins skip the
         .persist()                    # per-iteration sort of the edge side
@@ -112,6 +130,7 @@ def pagerank(
     e: DataFrame | None = None,
     dup_policy: str = "distinct",
     dangling: str = "reference",
+    weight_col: str | None = None,
     normalize_e: bool = True,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 1,
@@ -127,6 +146,9 @@ def pagerank(
     graph) plus the scale knobs the reference lacks. ``e`` is an optional
     ``(id, e)`` DataFrame; ``skew_salt=S`` enables two-stage salted
     aggregation over hubs with in-degree > ``hub_threshold``.
+    ``weight_col`` names an edge-weight column: the transition probability
+    becomes ``w(u,v) / Σ_x w(u,x)`` instead of ``1 / out_degree`` (dup
+    edges merge by summing weight; ``dup_policy`` is subsumed).
     """
     if not 0.0 < c < 1.0:
         raise ValueError("damping c must be in (0,1)")
@@ -136,7 +158,7 @@ def pagerank(
     ckpt = CheckpointManager(spark, checkpoint_dir)
 
     edges_w, verts, edges_cached = _prepare_edges(
-        spark, edges, dup_policy, num_partitions
+        spark, edges, dup_policy, num_partitions, weight_col=weight_col
     )
 
     # Resume safety: a checkpoint directory is only valid for the same
@@ -159,7 +181,8 @@ def pagerank(
             ).first()
             e_h = f"{eagg['eh']}|norm={normalize_e}"
         fingerprint = f"pagerank|c={c}|eps={eps}|dup={dup_policy}|" \
-                      f"dangling={dangling}|m={agg['m']}|h={agg['h']}|e={e_h}"
+                      f"dangling={dangling}|w={weight_col}|" \
+                      f"m={agg['m']}|h={agg['h']}|e={e_h}"
 
     # --- E vector ----------------------------------------------------
     if e is not None:
@@ -278,8 +301,13 @@ def pagerank(
             t0 = time.monotonic()
 
             ranks = state.select("id", "rank")
+            contrib_expr = (
+                F.col("rank") * F.col("__w") / F.col("out_degree")
+                if weight_col is not None
+                else F.col("rank") / F.col("out_degree")
+            )
             contribs = edges_w.join(ranks, edges_w["src"] == ranks["id"]).select(
-                "src", "dst", (F.col("rank") / F.col("out_degree")).alias("contrib")
+                "src", "dst", contrib_expr.alias("contrib")
             )
             if hubs is not None:
                 sums = salted_sum(

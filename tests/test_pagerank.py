@@ -209,3 +209,47 @@ def test_single_scan_of_raw_edge_input(spark):
     res = pagerank(spark, edges, c=C, eps=0.0, max_iter=3)
     res.ranks.collect()
     assert acc.value == 1, f"raw edge input scanned {acc.value}× (want 1)"
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """weight_col: transition = w/strength instead of 1/out_degree."""
+    import numpy as np
+
+    wedges = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 3.0)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w double")
+    k, c = 7, 0.85
+    res = pagerank(spark, df, c=c, eps=0.0, max_iter=k, weight_col="w")
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+
+    n = 4
+    P = np.zeros((n, n))
+    strength = {}
+    for s, d, w in wedges:
+        strength[s] = strength.get(s, 0.0) + w
+    for s, d, w in wedges:
+        P[s, d] = w / strength[s]
+    rank = np.full(n, 1.0 / n)
+    e = np.full(n, 1.0 / n)
+    for _ in range(k):
+        rank = c * (rank @ P) + (1 - c) * e  # vertex 3 dangling: mass drops
+    rank = rank / rank.sum()
+    for v in range(n):
+        assert got[v] == pytest.approx(rank[v], abs=1e-9), v
+
+
+def test_pagerank_weighted_merges_duplicate_edges(spark):
+    dup = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 1.0), (0, 2, 2.0), (1, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    merged = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 2.0), (1, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    a = pagerank(spark, dup, c=0.85, eps=0.0, max_iter=5, weight_col="w")
+    b = pagerank(spark, merged, c=0.85, eps=0.0, max_iter=5, weight_col="w")
+    ra = {r["id"]: r["rank"] for r in a.ranks.collect()}
+    rb = {r["id"]: r["rank"] for r in b.ranks.collect()}
+    assert ra.keys() == rb.keys()
+    for v in ra:
+        assert ra[v] == pytest.approx(rb[v], abs=1e-12)
