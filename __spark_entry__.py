@@ -58,6 +58,7 @@ from distributed_pagerank_spark.operators.similarity import (
 from distributed_pagerank_spark.plans.components import connected_components
 from distributed_pagerank_spark.plans.hits import hits
 from distributed_pagerank_spark.plans.kcore import k_core
+from distributed_pagerank_spark.plans.scc import strongly_connected_components
 from distributed_pagerank_spark.operators.linkpred import link_prediction
 from distributed_pagerank_spark.operators.graphstats import (
     degree_assortativity,
@@ -97,6 +98,11 @@ HITS_ITERS = 8
 KCORE_K = 3  # k-core order on the stratified slice (non-vacuous: ~30% peels)
 KCORE_UNROLL = 6  # oracle peel rounds; fixpoint measured at 2, margin 3×
 LINKPRED_TOPK = 5
+# SCC fixture: the chain-stripped generated graph is a random functional
+# graph — one giant SCC (~213 vertices), a 2-cycle, and ~185 singleton
+# tendrils (measured at these parameters), converging in a handful of
+# coloring rounds
+SCC_N, SCC_ME, SCC_SEED = 400, 2, 42
 GEN_N, GEN_MAX_EDGES, GEN_SEED = 500, 5, 11  # generated_graph parameters
 EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
 IVF_CENTROIDS = 8  # IVF cells for the contract-scale corpus (500 vecs)
@@ -456,6 +462,38 @@ h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts),
 {",".join(steps)}
 SELECT a.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
 FROM a{k} a JOIN h{k} h ON a.id = h.id"""
+
+
+def _scc_sql(n: int = SCC_N, max_edges: int = SCC_ME, seed: int = SCC_SEED) -> str:
+    """Exact SCC twin via recursive-CTE transitive closure: component(v) =
+    min u with u→*v AND v→*u (v itself otherwise). Tractable because the
+    fixture graph is small (~400 vertices) — the closure is O(n²) pairs,
+    which is exactly why the ENGINE uses iterative coloring instead
+    (plans/scc.py) and only the oracle brute-forces reachability."""
+    return f"""WITH RECURSIVE g AS MATERIALIZED (
+  SELECT src, dst FROM ({_gen_graph_sql(n, max_edges, seed)})
+  WHERE src <> dst AND dst <> src + 1
+),
+verts AS MATERIALIZED (
+  -- no top-level UNION here: inside a WITH RECURSIVE list DuckDB gives
+  -- union-shaped CTE bodies recursive-evaluation semantics (returns 713
+  -- rows instead of the 400 distinct) — nest the union in a subquery
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM g UNION ALL SELECT dst AS id FROM g
+  )
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM g
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN g e ON r.dst = e.src
+),
+mutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+),
+mn AS (SELECT v, min(u) AS m FROM mutual GROUP BY v)
+SELECT v.id, least(v.id, coalesce(mn.m, v.id)) AS component
+FROM verts v LEFT JOIN mn ON v.id = mn.v"""
 
 
 def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_UNROLL) -> str:
@@ -1222,6 +1260,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _graph_edges(s, d)
     ).select(F.round("assortativity", 6).alias("assortativity"))
 
+    def _q_scc(s, d):
+        """Strongly connected components of the chain-stripped generated
+        graph (a random functional graph: one giant SCC + a 2-cycle +
+        singleton tendrils) via iterative coloring (plans/scc.py); the
+        DuckDB twin brute-forces the transitive closure."""
+        g = generate_graph(
+            s, n=SCC_N, max_edges=SCC_ME, seed=SCC_SEED, hash_fn="md5"
+        )
+        e = g.where(
+            (F.col("src") != F.col("dst"))
+            & (F.col("dst") != F.col("src") + 1)
+        )
+        return strongly_connected_components(s, e)
+    q["strongly_connected_components"] = _q_scc
+
     # --- relational / analytics --------------------------------------
     def _q_tpch_q1(s, d):
         li = _t(s, d, "lineitem")
@@ -1618,6 +1671,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
             GEN_N, GEN_MAX_EDGES, GEN_SEED
         ),
         "k_core": _kcore_sql(),
+        "strongly_connected_components": _scc_sql(),
         "link_prediction_aa": _linkpred_sql(),
         "graph_reciprocity": f"""WITH g AS MATERIALIZED ({_gen_graph_sql(GEN_N, GEN_MAX_EDGES, GEN_SEED)}),
 e AS MATERIALIZED (SELECT DISTINCT src, dst FROM g WHERE src <> dst),

@@ -100,10 +100,15 @@ def multi_source_bfs(
             new_visited = visited.unionByName(new_frontier).persist()
             new_visited.count()
             # both successors are materialized — release the predecessors
-            # (at depth 1 frontier IS visited: release once, not twice)
+            # (at depth 1 frontier IS visited: release once, not twice).
+            # Never release the live truncation leaf: new_visited's lineage
+            # bottoms out at it, and if safe_truncate fell back to
+            # localCheckpoint a released leaf cannot recompute — it is
+            # released at the NEXT truncation instead (pagerank protocol).
             if frontier is not visited:
                 frontier.unpersist()
-            release_local_checkpoint(visited)
+            if visited is not last_truncated:
+                release_local_checkpoint(visited)
             frontier, visited = new_frontier, new_visited
             since_truncate += 1
             if since_truncate >= truncate_interval and depth < max_depth:
