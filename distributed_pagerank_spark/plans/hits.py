@@ -71,7 +71,7 @@ def hits(
     max_iter: int = 20,
     eps: float = 0.0,
     num_partitions: int | None = None,
-    truncate_interval: int = 5,
+    truncate_interval: int = 3,
 ) -> HitsResult:
     """Run HITS to ``max_iter`` rounds (or L1-delta ≤ eps on auth, when
     eps > 0 — the delta check costs one extra scalar agg per round over
@@ -172,6 +172,11 @@ def hits(
             prev_snapshot = snapshot
             state = new_state
             since_truncate += 1
+            # interval 3 (not PageRank's 5): the tree still doubles per
+            # iteration, but each HITS level embeds TWO chained gathers
+            # (3 joins + 2 aggs), so the same 2^k replication costs ~3×
+            # more analysis — measured 9.4 s for iteration 10 at interval
+            # 5 vs ~1 s steady at interval 3 (sf0.01, local[32])
             if since_truncate >= truncate_interval and iteration < max_iter:
                 truncated = safe_truncate(spark, state)
                 snapshot.unpersist()
