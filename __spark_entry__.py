@@ -78,8 +78,11 @@ from distributed_pagerank_spark.plans.triangles import (
     triangle_count,
 )
 from distributed_pagerank_spark.sources.transcripts import (
+    conversation_stats,
     derive_edges,
     synth_transcripts,
+    tool_cooccurrence,
+    tool_transitions,
 )
 from distributed_pagerank_spark.streaming.events import (
     epoch_seconds_ntz,
@@ -114,6 +117,9 @@ DUP_OFFSET = 10_000_000  # re-keyed duplicate sample for exact-dedup check
 # DuckDB twin can read the identical bytes (the driver runs the Spark side
 # of each query before its oracle); gitignored scratch inside the repo.
 TRANSCRIPT_EDGES_PATH = "/root/repo/.cache/transcript_edges.parquet"
+# transcript-analytics entries materialize the synthetic table here so
+# their DuckDB twins read the identical bytes (driver runs Spark first)
+TRANSCRIPTS_PATH = "/root/repo/.cache/transcripts.parquet"
 # scratch for the streaming-sessionizer driver entry: staged source dir,
 # stream checkpoint, and the parquet sink the returned DataFrame reads
 SESSIONIZE_STREAM_DIR = "/root/repo/.cache/sessionize_stream"
@@ -1106,6 +1112,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
     q["pagerank_transcripts"] = _q_pagerank_transcripts
 
+    def _materialized_transcripts(s):
+        t = synth_transcripts(s, n_convs=300, seed=42)
+        t.write.mode("overwrite").parquet(TRANSCRIPTS_PATH)
+        return s.read.parquet(TRANSCRIPTS_PATH)
+
+    # transcript-corpus analytics (sources/transcripts.py): the summary
+    # reports a pipeline runs on the BASELINE input_hint table itself,
+    # before/alongside the graph derivation
+    q["transcript_stats"] = lambda s, d: conversation_stats(
+        _materialized_transcripts(s)
+    )
+    q["tool_cooccurrence"] = lambda s, d: tool_cooccurrence(
+        _materialized_transcripts(s)
+    )
+    q["tool_transitions"] = lambda s, d: tool_transitions(
+        _materialized_transcripts(s)
+    )
+
     def _q_pagerank_seeded_e(s, d):
         # reference-style random personalization (graph.go:150-164),
         # seeded + md5-hash mode so the oracle can reproduce it exactly
@@ -1643,6 +1667,33 @@ FROM edges_raw GROUP BY src""",
             k=TRANSCRIPT_PR_ITERS, edges_cte=_TRANSCRIPT_EDGES_CTE
         ),
         "generated_graph": _gen_graph_sql(GEN_N, GEN_MAX_EDGES, GEN_SEED),
+        "transcript_stats": f"""SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_tool_calls,
+       count(DISTINCT tool)::BIGINT AS n_distinct_tools,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT)
+         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM read_parquet('{TRANSCRIPTS_PATH}/*.parquet')
+GROUP BY conv_id""",
+        "tool_cooccurrence": f"""WITH calls AS (
+  SELECT DISTINCT conv_id, tool
+  FROM read_parquet('{TRANSCRIPTS_PATH}/*.parquet') WHERE tool IS NOT NULL
+)
+SELECT a.tool AS tool_a, b.tool AS tool_b, count(*)::BIGINT AS n_convs
+FROM calls a JOIN calls b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY 1, 2""",
+        "tool_transitions": f"""WITH calls AS (
+  SELECT conv_id, turn_idx, tool
+  FROM read_parquet('{TRANSCRIPTS_PATH}/*.parquet') WHERE tool IS NOT NULL
+)
+SELECT prev_tool, tool, count(*)::BIGINT AS n FROM (
+  SELECT tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM calls
+) WHERE prev_tool IS NOT NULL GROUP BY 1, 2""",
         "edgelist_http": r"""WITH raw AS (
   SELECT unnest(string_split(content, chr(10))) AS l
   FROM read_text('/root/repo/tests/fixtures/web_edges.txt')

@@ -161,6 +161,72 @@ def derive_edges(
     return edges
 
 
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation summary → ``(conv_id, n_turns, n_tool_calls,
+    n_distinct_tools, start_epoch, end_epoch, duration_s)``.
+
+    The first report run on a new transcript corpus: one map-side-combined
+    aggregation keyed ``conv_id``, no joins, no windows. Timestamps are
+    exported as epoch seconds (BIGINT) per the repo's oracle convention.
+    """
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_calls"),
+        F.count_distinct("tool").alias("n_distinct_tools"),
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("start_epoch"),
+        F.floor(F.unix_timestamp(F.max("ts"))).cast("long").alias("end_epoch"),
+        (
+            F.floor(F.unix_timestamp(F.max("ts")))
+            - F.floor(F.unix_timestamp(F.min("ts")))
+        ).cast("long").alias("duration_s"),
+    )
+
+
+def tool_cooccurrence(transcripts: DataFrame) -> DataFrame:
+    """Tool co-invocation graph → ``(tool_a, tool_b, n_convs)``.
+
+    An edge between two tools weighted by how many conversations invoke
+    BOTH — the derived graph over the tool vocabulary (the brief's
+    "tool-invocation edges" aggregated to the tool level, where PageRank /
+    components / link prediction run on tools instead of turns). One
+    distinct + a self-join on ``conv_id``; the join's fan-out is bounded
+    by (distinct tools per conversation)², a small constant at any corpus
+    scale.
+    """
+    calls = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    a = calls.select("conv_id", F.col("tool").alias("tool_a"))
+    b = calls.select("conv_id", F.col("tool").alias("tool_b"))
+    return (
+        a.join(b, "conv_id")
+        .where(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count("*").cast("long").alias("n_convs"))
+    )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Markov transition counts between consecutive tool invocations
+    within a conversation → ``(prev_tool, tool, n)``.
+
+    The same single window shuffle shape as ``derive_edges`` (partition by
+    ``conv_id``, order by ``turn_idx``), restricted to tool-invoking turns.
+    """
+    calls = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        calls.withColumn("prev_tool", F.lag("tool").over(w))
+        .where(F.col("prev_tool").isNotNull())
+        .groupBy("prev_tool", "tool")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def turn_text_invariant(transcripts: DataFrame) -> DataFrame:
     """Per-turn text equality check under stable (conv_id, turn_idx) order.
 

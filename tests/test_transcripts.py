@@ -208,3 +208,49 @@ def test_load_transcripts_iceberg(spark, tmp_path):
     want = sorted((r.src, r.dst) for r in derive_edges(t).collect())
     got = sorted((r.src, r.dst) for r in derive_edges(got_t).collect())
     assert got == want
+
+
+def _mini_transcripts(spark):
+    rows = [
+        # conv A: assistant calls search (t1) then python (t3)
+        ("A", 0, "user", "q", None, "2024-01-01 00:00:00"),
+        ("A", 1, "assistant", "a", "search", "2024-01-01 00:00:05"),
+        ("A", 2, "tool", "r", None, "2024-01-01 00:00:06"),
+        ("A", 3, "assistant", "a2", "python", "2024-01-01 00:00:09"),
+        # conv B: python only
+        ("B", 0, "user", "q", None, "2024-01-01 01:00:00"),
+        ("B", 1, "assistant", "a", "python", "2024-01-01 01:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    )
+    from pyspark.sql import functions as F
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_conversation_stats_mini(spark):
+    from distributed_pagerank_spark.sources.transcripts import conversation_stats
+    got = {r["conv_id"]: r.asDict() for r in
+           conversation_stats(_mini_transcripts(spark)).collect()}
+    a = got["A"]
+    assert a["n_turns"] == 4
+    assert a["n_tool_calls"] == 2
+    assert a["n_distinct_tools"] == 2
+    assert a["duration_s"] == 9
+    b = got["B"]
+    assert (b["n_turns"], b["n_tool_calls"], b["n_distinct_tools"]) == (2, 1, 1)
+    assert b["duration_s"] == 1
+
+
+def test_tool_cooccurrence_and_transitions_mini(spark):
+    from distributed_pagerank_spark.sources.transcripts import (
+        tool_cooccurrence,
+        tool_transitions,
+    )
+    co = {(r["tool_a"], r["tool_b"]): r["n_convs"] for r in
+          tool_cooccurrence(_mini_transcripts(spark)).collect()}
+    assert co == {("python", "search"): 1}  # only conv A invokes both
+    tr = {(r["prev_tool"], r["tool"]): r["n"] for r in
+          tool_transitions(_mini_transcripts(spark)).collect()}
+    assert tr == {("search", "python"): 1}
