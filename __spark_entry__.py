@@ -1085,6 +1085,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("set_id", "id", F.round("rank", 6).alias("rank"))
     q["ppr_multi_seed"] = _q_ppr_multi
 
+    def _q_harmonic(s, d):
+        """Truncated harmonic centrality from the multi-source BFS run:
+        centrality(v) = Σ_roots 1/dist(root, v) over hops 1..3 — the
+        standard sampled-roots centrality estimate (exact per root; the
+        truncation radius and root sample are the scale knobs)."""
+        edges = _graph_edges(s, d)
+        roots = (
+            edges.select("src").distinct()
+            .where(F.col("src") % 250 == 0)
+            .select(F.col("src").alias("root"), F.col("src").alias("id"))
+        )
+        vis = multi_source_bfs(s, edges, roots, max_depth=3)
+        return (
+            vis.where(F.col("dist") > 0)
+            .groupBy("id")
+            .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("centrality"))
+        )
+    q["harmonic_centrality"] = _q_harmonic
+
+    def _q_eccentricity(s, d):
+        """Per-root eccentricity within the 3-hop horizon (max hop
+        distance reached), plus reached-set size — the radius/diameter
+        diagnostic over the sampled roots."""
+        edges = _graph_edges(s, d)
+        roots = (
+            edges.select("src").distinct()
+            .where(F.col("src") % 250 == 0)
+            .select(F.col("src").alias("root"), F.col("src").alias("id"))
+        )
+        vis = multi_source_bfs(s, edges, roots, max_depth=3)
+        return vis.groupBy("root").agg(
+            F.max("dist").cast("long").alias("eccentricity"),
+            F.count("*").cast("long").alias("n_reached"),
+        )
+    q["root_eccentricity"] = _q_eccentricity
+
     def _q_bfs(s, d):
         """Multi-source BFS over the undirected customer↔supplier graph:
         hop distances from every customer with id % 250 == 0, all roots
@@ -1660,6 +1696,13 @@ FROM edges_raw GROUP BY src""",
         "pagerank_k5_weighted": _weighted_pagerank_sql(),
         "ppr_multi_seed": _ppr_multi_sql(),
         "bfs_multi_source": _bfs_sql(),
+        "harmonic_centrality": f"""WITH bfs AS ({_bfs_sql()})
+SELECT id, round(sum(1.0 / dist), 6) AS centrality
+FROM bfs WHERE dist > 0 GROUP BY id""",
+        "root_eccentricity": f"""WITH bfs AS ({_bfs_sql()})
+SELECT root, max(dist)::BIGINT AS eccentricity,
+       count(*)::BIGINT AS n_reached
+FROM bfs GROUP BY root""",
         "pagerank_seeded_e": _pagerank_sql(e_seed=7),
         # flagship: unrolled fixed-k PageRank over the parquet edge table
         # the Spark query materialized (the driver runs Spark first)
