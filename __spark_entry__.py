@@ -64,6 +64,10 @@ from distributed_pagerank_spark.operators.graphstats import (
     degree_assortativity,
     reciprocity,
 )
+from distributed_pagerank_spark.operators.sampling import (
+    sample_edges,
+    sample_vertices_induced,
+)
 from distributed_pagerank_spark.sources.edgelist import read_edge_list_http
 from distributed_pagerank_spark.sources.generator import (
     generate_graph,
@@ -1320,6 +1324,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _graph_edges(s, d)
     ).select(F.round("assortativity", 6).alias("assortativity"))
 
+    # seeded deterministic samplers (operators/sampling.py), md5 tier so
+    # the kept set is bit-exact across engines
+    q["sampled_edges"] = lambda s, d: sample_edges(
+        _graph_edges(s, d), 0.25, seed=5, hash_fn="md5"
+    )
+    q["sampled_vertices_induced"] = lambda s, d: sample_vertices_induced(
+        _graph_edges(s, d), 0.5, seed=5, hash_fn="md5"
+    )
+
     def _q_scc(s, d):
         """Strongly connected components of the chain-stripped generated
         graph (a random functional graph: one giant SCC + a 2-cycle +
@@ -1767,6 +1780,14 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "k_core": _kcore_sql(),
         "strongly_connected_components": _scc_sql(),
         "link_prediction_aa": _linkpred_sql(),
+        "sampled_edges": f"""WITH {_EDGES_CTE}
+SELECT src, dst FROM edges
+WHERE ({hash60_md5_sql("src::VARCHAR || '|' || dst::VARCHAR", 5)})
+      % 1000000 < 250000""",
+        "sampled_vertices_induced": f"""WITH {_EDGES_CTE}
+SELECT src, dst FROM edges
+WHERE ({hash60_md5_sql("src::VARCHAR", 5)}) % 1000000 < 500000
+  AND ({hash60_md5_sql("dst::VARCHAR", 5)}) % 1000000 < 500000""",
         "graph_reciprocity": f"""WITH g AS MATERIALIZED ({_gen_graph_sql(GEN_N, GEN_MAX_EDGES, GEN_SEED)}),
 e AS MATERIALIZED (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
 m AS (
