@@ -57,7 +57,7 @@ from distributed_pagerank_spark.operators.similarity import (
 )
 from distributed_pagerank_spark.plans.components import connected_components
 from distributed_pagerank_spark.plans.hits import hits
-from distributed_pagerank_spark.plans.kcore import k_core
+from distributed_pagerank_spark.plans.kcore import coreness, k_core
 from distributed_pagerank_spark.plans.scc import strongly_connected_components
 from distributed_pagerank_spark.operators.linkpred import link_prediction
 from distributed_pagerank_spark.operators.graphstats import (
@@ -572,6 +572,61 @@ ranked AS (
   FROM scored
 )
 SELECT u, v, common, score, rank FROM ranked WHERE rank <= {top_k}"""
+
+
+# unrolled peel rounds per core level k=1..7 for the sf0.01 stratified
+# slice: measured fixpoint depths {1:1,2:2,3:2,4:2,5:2,6:9,7:6}, each +3
+# margin (extra rounds are idempotent); level 7 empties the graph (max
+# core = 6)
+CORENESS_UNROLL = [4, 5, 5, 5, 5, 12, 9]
+
+
+def _coreness_sql(levels: list[int] | None = None) -> str:
+    """Full core-decomposition twin (plans/kcore.py coreness): nested
+    unrolled peels — at level k, vertices dropped on the way to the
+    k-core carry core = k-1. Every CTE MATERIALIZED (each round
+    references its predecessor 3×; DuckDB inlining would go 3^rounds)."""
+    levels = levels or CORENESS_UNROLL
+    parts = []
+    prev_e, prev_v = "e0", "v0"
+    removed_refs = []
+    for ki, rounds in enumerate(levels, start=1):
+        for r in range(1, rounds + 1):
+            rm, e, v = f"rm{ki}_{r}", f"e{ki}_{r}", f"v{ki}_{r}"
+            # removal tests the ALIVE set, not the edge table: a vertex
+            # whose last edge vanished earlier in this level has no
+            # degree row but must still be removed (and labeled) here
+            parts.append(f"""{rm} AS MATERIALIZED (
+  SELECT vv.id FROM {prev_v} vv LEFT JOIN (
+    SELECT src AS id, count(*) AS c FROM {prev_e} GROUP BY src
+  ) d ON vv.id = d.id
+  WHERE coalesce(d.c, 0) < {ki}
+),
+{v} AS MATERIALIZED (
+  SELECT id FROM {prev_v} WHERE id NOT IN (SELECT id FROM {rm})
+),
+{e} AS MATERIALIZED (
+  SELECT s.src, s.dst FROM {prev_e} s
+  WHERE s.src NOT IN (SELECT id FROM {rm})
+    AND s.dst NOT IN (SELECT id FROM {rm})
+)""")
+            removed_refs.append((rm, ki - 1))
+            prev_e, prev_v = e, v
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {core} AS core FROM {rm}" for rm, core in removed_refs
+    )
+    return f"""WITH {_SPARSE_EDGES_CTE.replace("edges AS (", "edges AS MATERIALIZED (", 1)},
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+),
+v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
+{",".join(parts)},
+lab AS (
+  {union}
+)
+SELECT id, core::BIGINT AS core FROM lab"""
 
 
 def _clustering_sql(n: int, max_edges: int, seed: int) -> str:
@@ -1288,6 +1343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of vertices at k=3, exercising the cascade)
     q["k_core"] = lambda s, d: k_core(s, _sparse_edges(s, d), k=KCORE_K)
 
+    # full core decomposition on the same slice (max core 6 at sf0.01,
+    # ~200-340 vertices per level — non-vacuous everywhere)
+    q["coreness"] = lambda s, d: coreness(s, _sparse_edges(s, d))
+
     def _q_linkpred(s, d):
         """Adamic–Adar link prediction on the stratified slice: top-5
         predicted (customer, customer) / (supplier, supplier) links per
@@ -1778,6 +1837,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
             GEN_N, GEN_MAX_EDGES, GEN_SEED
         ),
         "k_core": _kcore_sql(),
+        "coreness": _coreness_sql(),
         "strongly_connected_components": _scc_sql(),
         "link_prediction_aa": _linkpred_sql(),
         "sampled_edges": f"""WITH {_EDGES_CTE}

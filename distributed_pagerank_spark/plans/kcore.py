@@ -118,3 +118,127 @@ def k_core(
     )
     release_local_checkpoint(cur)
     return out
+
+
+def coreness(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_k: int = 1000,
+    max_iter_per_level: int = 100,
+    num_partitions: int | None = None,
+    metrics_out: list[dict[str, Any]] | None = None,
+) -> DataFrame:
+    """Full core decomposition → ``(id, core)`` for every vertex of the
+    undirected simple graph (core = the largest k whose k-core contains
+    the vertex; the degeneracy ordering's level function).
+
+    Level-synchronous peeling: for k = 1, 2, …, peel the current
+    subgraph to its k-core; every vertex removed on the way has
+    ``core = k − 1``. Total rounds = Σ_k (peel depth at level k) — the
+    standard distributed coreness (Montresor et al.'s batch variant),
+    each round one degree aggregation + two broadcast anti-joins over a
+    monotonically shrinking edge set. Vertices with no qualifying edge
+    at level 1 (isolated after self-loop removal) get core 0.
+    """
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    metrics = metrics_out if metrics_out is not None else []
+    raw = edges.select("src", "dst").persist()
+    cur = (
+        symmetrize(raw)
+        .repartition(num_partitions, "src")
+        .localCheckpoint(eager=True)
+    )
+    # vertex set from the raw input: self-loop-only / isolated-by-dedup
+    # vertices never enter the peel and carry core 0
+    from distributed_pagerank_spark.operators.degrees import (
+        vertices_from_edges,
+    )
+
+    all_verts = vertices_from_edges(raw).localCheckpoint(eager=True)
+    raw.unpersist()
+    # the ALIVE vertex set is tracked explicitly: a vertex that loses all
+    # its edges mid-level vanishes from the edge table, so "degree < k"
+    # computed from edges alone would never see it (degree 0 rows don't
+    # exist) and it would never be assigned its core
+    alive = (
+        vertices_from_edges(cur.select("src", "dst"))
+        .localCheckpoint(eager=True)
+    )
+    assigned_parts: list[DataFrame] = []
+    removed_leaves: list[DataFrame] = []  # released after `out` materializes
+
+    with loop_conf(spark):
+        k = 0
+        while k < max_k:
+            k += 1
+            level_removed = 0
+            t0 = time.monotonic()
+            for _ in range(max_iter_per_level):
+                deg = cur.groupBy(F.col("src").alias("id")).agg(
+                    F.count("*").alias("degree")
+                )
+                removed = (
+                    alive.join(deg, "id", "left")
+                    .where(F.coalesce("degree", F.lit(0)) < k)
+                    .select("id")
+                    .localCheckpoint(eager=True)
+                )
+                n_removed = removed.count()
+                if n_removed == 0:
+                    release_local_checkpoint(removed)
+                    break
+                level_removed += n_removed
+                removed_leaves.append(removed)
+                assigned_parts.append(
+                    removed.select(
+                        "id", F.lit(k - 1).cast("long").alias("core")
+                    )
+                )
+                rem = (
+                    F.broadcast(removed)
+                    if n_removed <= BROADCAST_REMOVED_MAX
+                    else removed
+                )
+                nxt = (
+                    cur.join(rem, cur["src"] == rem["id"], "left_anti")
+                    .join(rem, cur["dst"] == rem["id"], "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                nxt_alive = alive.join(
+                    rem, alive["id"] == rem["id"], "left_anti"
+                ).localCheckpoint(eager=True)
+                release_local_checkpoint(cur)
+                release_local_checkpoint(alive)
+                cur, alive = nxt, nxt_alive
+            metrics.append(
+                {"k": k, "removed": level_removed,
+                 "total_s": round(time.monotonic() - t0, 4)}
+            )
+            if alive.isEmpty():
+                break
+
+    release_local_checkpoint(cur)
+    labeled = None
+    for part in assigned_parts:
+        labeled = part if labeled is None else labeled.unionByName(part)
+    if labeled is None:
+        out = all_verts.select(
+            "id", F.lit(0).cast("long").alias("core")
+        ).localCheckpoint(eager=True)
+        release_local_checkpoint(all_verts)
+        release_local_checkpoint(alive)
+        return out
+    out = (
+        all_verts.join(labeled, "id", "left")
+        .select(
+            "id", F.coalesce("core", F.lit(0)).cast("long").alias("core")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for leaf in removed_leaves:
+        release_local_checkpoint(leaf)
+    release_local_checkpoint(all_verts)
+    release_local_checkpoint(alive)
+    return out

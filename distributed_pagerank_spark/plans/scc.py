@@ -34,8 +34,9 @@ reachable from v in-class), so folding in ``label(label(v))`` per round
 is sound and halves the remaining propagation distance — O(log d)
 rounds instead of O(d). On the 400-vertex functional-graph fixture the
 giant SCC's internal cycle is ~10² long: plain propagation paid ~200
-one-hop rounds across the two fixpoints (~400 s at 32 threads, jobs
-dominated by fixed scheduling cost), jumping pays ~2×8.
+one-hop rounds across the two fixpoints of outer round 1 alone (~400 s
+at 32 threads, jobs dominated by fixed scheduling cost); jumping closes
+the same color fixpoint in 18 rounds (~11 s measured).
 
 Scale shape: both fixpoints move only |V_r|-sized label vectors against
 a per-round cached-and-shrinking edge set (same gather-scatter economy
