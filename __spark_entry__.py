@@ -58,10 +58,13 @@ from distributed_pagerank_spark.operators.similarity import (
 from distributed_pagerank_spark.plans.components import connected_components
 from distributed_pagerank_spark.plans.hits import hits
 from distributed_pagerank_spark.plans.kcore import coreness, k_core
+from distributed_pagerank_spark.plans.truss import k_truss
 from distributed_pagerank_spark.plans.scc import strongly_connected_components
 from distributed_pagerank_spark.operators.linkpred import link_prediction
 from distributed_pagerank_spark.operators.graphstats import (
+    avg_neighbor_degree,
     degree_assortativity,
+    modularity,
     reciprocity,
 )
 from distributed_pagerank_spark.operators.sampling import (
@@ -264,6 +267,80 @@ def _supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+TRUSS_TOP_N = 600  # strongest co-occurrence edges kept for the truss graph
+TRUSS_K = 4  # measured at sf0.01: 187 of 600 edges survive over 8 peel rounds
+
+
+def _strong_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N supplier co-occurrence edges by shared-order count
+    (ties → smaller src, then dst — fully deterministic). The full
+    co-occurrence graph is complete at every sf (any two suppliers share
+    some order), so truss/peeling structure only exists on the strong-tie
+    subgraph. orderBy+limit compiles to TakeOrderedAndProject — per-
+    partition top-N then a driver merge of N rows, no global sort
+    shuffle."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = l.alias("a"), l.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").cast("long").alias("src"),
+            F.col("b.l_suppkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.desc("w"), F.asc("src"), F.asc("dst"))
+        .limit(TRUSS_TOP_N)
+        .select("src", "dst")
+    )
+
+
+_STRONG_PAIRS_CTE = f"""strong AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+           row_number() OVER (ORDER BY count(*) DESC,
+                              a.l_suppkey ASC, b.l_suppkey ASC) AS rn
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+  ) WHERE rn <= {TRUSS_TOP_N}
+)"""
+
+
+def _ktruss_sql(k: int = TRUSS_K, rounds: int = 11) -> str:
+    """Unrolled support-peel twin (plans/truss.py k_truss) on the
+    strong-tie supplier graph: per round, enumerate id-ordered triangles
+    (x<y<z once each — orientation-independent, so the engine's
+    degree-ordered enumeration lands on identical support counts),
+    explode to the three edges, and keep edges with support ≥ k−2.
+    Measured fixpoint depth 8 at sf0.01 (+3 idempotent margin). All CTEs
+    MATERIALIZED — each round references its predecessor 4×."""
+    steps = []
+    prev = "strong"
+    for i in range(1, rounds + 1):
+        steps.append(f"""t{i} AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM {prev} a
+  JOIN {prev} b ON b.src = a.src AND b.dst > a.dst
+  JOIN {prev} c ON c.src = a.dst AND c.dst = b.dst
+),
+s{i} AS MATERIALIZED (
+  SELECT src, dst, count(*) AS support FROM (
+    SELECT x AS src, y AS dst FROM t{i}
+    UNION ALL SELECT x, z FROM t{i}
+    UNION ALL SELECT y, z FROM t{i}
+  ) GROUP BY src, dst
+),
+e{i} AS MATERIALIZED (
+  SELECT s.src, s.dst, s.support FROM s{i} s
+  WHERE s.support >= {k - 2}
+)""")
+        prev = f"e{i}"
+    return f"""WITH {_STRONG_PAIRS_CTE},
+{",".join(steps)}
+SELECT src, dst, support::BIGINT AS support FROM {prev}"""
 
 
 def _pagerank_sql(
@@ -1347,6 +1424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ~200-340 vertices per level — non-vacuous everywhere)
     q["coreness"] = lambda s, d: coreness(s, _sparse_edges(s, d))
 
+    # k-truss on the strong-tie supplier graph (187 of 600 edges survive
+    # at k=4 through an 8-round peel cascade at sf0.01)
+    q["k_truss"] = lambda s, d: k_truss(s, _strong_pairs(s, d), k=TRUSS_K)
+
     def _q_linkpred(s, d):
         """Adamic–Adar link prediction on the stratified slice: top-5
         predicted (customer, customer) / (supplier, supplier) links per
@@ -1382,6 +1463,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["degree_assortativity"] = lambda s, d: degree_assortativity(
         s, _graph_edges(s, d)
     ).select(F.round("assortativity", 6).alias("assortativity"))
+
+    # degree-correlation profile knn(k): one row per distinct degree
+    q["avg_neighbor_degree"] = lambda s, d: avg_neighbor_degree(
+        s, _graph_edges(s, d)
+    ).select("degree", F.round("knn", 6).alias("knn"), "n_vertices")
+
+    def _q_lp_modularity(s, d):
+        """Newman modularity of the deterministic 3-round label-
+        propagation partition on the customer-supplier graph — the
+        quality scalar a community detection run reports."""
+        g = _graph_edges(s, d)
+        labels = label_propagation(s, g, rounds=LPA_ROUNDS)
+        return modularity(s, g, labels).select(
+            F.round("modularity", 6).alias("modularity"),
+            "m_edges",
+            "n_communities",
+        )
+    q["lp_modularity"] = _q_lp_modularity
 
     # seeded deterministic samplers (operators/sampling.py), md5 tier so
     # the kept set is bit-exact across engines
@@ -1838,6 +1937,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         ),
         "k_core": _kcore_sql(),
         "coreness": _coreness_sql(),
+        "k_truss": _ktruss_sql(),
         "strongly_connected_components": _scc_sql(),
         "link_prediction_aa": _linkpred_sql(),
         "sampled_edges": f"""WITH {_EDGES_CTE}
@@ -1873,6 +1973,49 @@ j AS (
   FROM sym s JOIN deg d1 ON s.src = d1.id JOIN deg d2 ON s.dst = d2.id
 )
 SELECT round(corr(du, dv), 6) AS assortativity FROM j""",
+        "avg_neighbor_degree": f"""WITH {_EDGES_CTE},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+pv AS (
+  SELECT s.src AS id, avg(d.deg) AS avg_nbr
+  FROM sym s JOIN deg d ON s.dst = d.id GROUP BY s.src
+)
+SELECT d.deg AS degree, round(avg(pv.avg_nbr), 6) AS knn,
+       count(*)::BIGINT AS n_vertices
+FROM pv JOIN deg d ON pv.id = d.id GROUP BY d.deg""",
+        "lp_modularity": f"""WITH {_EDGES_CTE},
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM edges WHERE src <> dst
+),
+lab AS MATERIALIZED (SELECT id, label FROM ({{LPA}}) lpa),
+m AS (SELECT count(*)::DOUBLE AS m FROM canon),
+intra AS (
+  SELECT lu.label, count(*) AS m_c
+  FROM canon e JOIN lab lu ON e.src = lu.id JOIN lab lv ON e.dst = lv.id
+  WHERE lu.label = lv.label GROUP BY lu.label
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM canon
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM canon
+),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+d_c AS (
+  SELECT coalesce(l.label, d.id) AS label, sum(d.deg) AS d_c
+  FROM deg d LEFT JOIN lab l ON d.id = l.id GROUP BY 1
+)
+SELECT round(sum(coalesce(i.m_c, 0) / (SELECT m FROM m)
+              - pow(d.d_c / (2 * (SELECT m FROM m)), 2)), 6) AS modularity,
+       (SELECT m FROM m)::BIGINT AS m_edges,
+       count(*)::BIGINT AS n_communities
+FROM d_c d LEFT JOIN intra i ON d.label = i.label""".replace(
+            "{LPA}", _lpa_sql()
+        ),
         "tpch_q1": """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base,
