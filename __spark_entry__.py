@@ -79,6 +79,7 @@ from distributed_pagerank_spark.sources.generator import (
 from distributed_pagerank_spark.plans.labelprop import label_propagation
 from distributed_pagerank_spark.plans.pagerank import pagerank
 from distributed_pagerank_spark.plans.bfs import multi_source_bfs
+from distributed_pagerank_spark.plans.betweenness import betweenness
 from distributed_pagerank_spark.plans.ppr import personalized_pagerank_multi
 from distributed_pagerank_spark.plans.triangles import (
     local_clustering_coefficient,
@@ -430,6 +431,54 @@ f0 AS (SELECT id AS root, id, 0 AS dist FROM roots),
 v0 AS (SELECT * FROM f0),
 {",".join(levels)}
 SELECT root, id, dist FROM v{max_depth}"""
+
+
+def _betweenness_sql(max_depth: int = 3, root_mod: int = 250) -> str:
+    """Unrolled two-pass Brandes twin (plans/betweenness.py): forward
+    levels carry (root, id, sigma) path counts; backward levels hand
+    dependencies down one hop at a time. Same roots and depth cap as
+    the BFS row; MATERIALIZED throughout (each level is referenced by
+    the next level, the visited check, and the backward join)."""
+    fwd = []
+    for i in range(1, max_depth + 1):
+        fwd.append(f"""f{i} AS MATERIALIZED (
+  SELECT f.root, s.dst AS id, sum(f.sigma) AS sigma
+  FROM f{i - 1} f JOIN sym s ON s.src = f.id
+  WHERE NOT EXISTS (SELECT 1 FROM v{i - 1} v
+                    WHERE v.root = f.root AND v.id = s.dst)
+  GROUP BY f.root, s.dst
+),
+v{i} AS MATERIALIZED (
+  SELECT * FROM v{i - 1} UNION ALL SELECT root, id FROM f{i}
+)""")
+    bwd = [f"""d{max_depth} AS MATERIALIZED (
+  SELECT root, id, sigma, 0.0::DOUBLE AS delta FROM f{max_depth}
+)"""]
+    for i in range(max_depth - 1, 0, -1):
+        bwd.append(f"""d{i} AS MATERIALIZED (
+  SELECT f.root, f.id, f.sigma, coalesce(h.delta, 0.0) AS delta
+  FROM f{i} f LEFT JOIN (
+    SELECT g.root, g.id,
+           sum(g.sigma / w.sigma * (1 + w.delta)) AS delta
+    FROM f{i} g JOIN sym s ON s.src = g.id
+                JOIN d{i + 1} w ON w.root = g.root AND w.id = s.dst
+    GROUP BY g.root, g.id
+  ) h ON h.root = f.root AND h.id = f.id
+)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT id, delta FROM d{i}" for i in range(1, max_depth + 1)
+    )
+    return f"""WITH {_EDGES_CTE},
+{_SYM_CTE},
+roots AS (SELECT DISTINCT src AS id FROM edges WHERE src % {root_mod} = 0),
+f0 AS MATERIALIZED (SELECT id AS root, id, 1.0::DOUBLE AS sigma FROM roots),
+v0 AS MATERIALIZED (SELECT root, id FROM f0),
+{",".join(fwd)},
+{",".join(bwd)},
+lab AS (
+  {union}
+)
+SELECT id, round(sum(delta), 6) AS betweenness FROM lab GROUP BY id"""
 
 
 def _ppr_multi_sql(k: int = PAGERANK_ITERS, c: float = 0.85) -> str:
@@ -1270,6 +1319,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multi_source_bfs(s, edges, roots, max_depth=3)
     q["bfs_multi_source"] = _q_bfs
 
+    def _q_betweenness(s, d):
+        """Depth-3 Brandes betweenness from the same sampled customer
+        roots as the BFS row (plans/betweenness.py): forward sigma
+        levels, backward dependency accumulation, per-vertex sum."""
+        edges = _graph_edges(s, d)
+        roots = (
+            edges.select("src").distinct()
+            .where(F.col("src") % 250 == 0)
+            .select(F.col("src").alias("root"))
+        )
+        return betweenness(s, edges, roots, max_depth=3).select(
+            "id", F.round("betweenness", 6).alias("betweenness")
+        )
+    q["betweenness_sampled"] = _q_betweenness
+
     def _q_pagerank_transcripts(s, d):
         # Flagship path over the BASELINE input_hint table shape, now
         # hash-verified: the derived edge table is materialized to a
@@ -1867,6 +1931,7 @@ FROM edges_raw GROUP BY src""",
         "pagerank_k5_weighted": _weighted_pagerank_sql(),
         "ppr_multi_seed": _ppr_multi_sql(),
         "bfs_multi_source": _bfs_sql(),
+        "betweenness_sampled": _betweenness_sql(),
         "harmonic_centrality": f"""WITH bfs AS ({_bfs_sql()})
 SELECT id, round(sum(1.0 / dist), 6) AS centrality
 FROM bfs WHERE dist > 0 GROUP BY id""",
