@@ -23,6 +23,8 @@ from distributed_pagerank_spark.sources.transcripts import (  # noqa: E402
     synth_transcripts,
 )
 from distributed_pagerank_spark.plans.bfs import multi_source_bfs  # noqa: E402
+from distributed_pagerank_spark.plans.betweenness import betweenness  # noqa: E402
+from distributed_pagerank_spark.plans.truss import k_truss  # noqa: E402
 from distributed_pagerank_spark.plans.hits import hits  # noqa: E402
 from distributed_pagerank_spark.plans.kcore import k_core  # noqa: E402
 from distributed_pagerank_spark.plans.pagerank import pagerank  # noqa: E402
@@ -152,6 +154,16 @@ def main() -> None:
                  .select(F.col("src").alias("root"), F.col("src").alias("id")))
         multi_source_bfs(spark, edges, roots, max_depth=3).count()
     run("q_bfs_multi_source", _bfs)
+
+    def _betweenness():
+        roots = (edges.select("src").distinct()
+                 .where(F.col("src") % 250 == 0)
+                 .select(F.col("src").alias("root")))
+        betweenness(spark, edges, roots, max_depth=3).count()
+    run("q_betweenness", _betweenness)
+
+    run("q_k_truss", lambda: k_truss(
+        spark, contract._strong_pairs(spark, sf_dir), k=4).count())
 
     # training-data toolkit
     run("q_dedup_jaccard", lambda: jaccard_pairs(

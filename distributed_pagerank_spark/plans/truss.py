@@ -8,17 +8,20 @@ subgraph*. Obtained by repeatedly deleting edges whose in-subgraph
 support drops below k−2; the fixpoint is unique (deletion order does
 not matter), so level-synchronous rounds compute the exact truss.
 
-Per-round plan: enumerate each surviving triangle once via the
-degree-ordered compact-forward intersection (``plans/triangles.py
-triangle_rows`` — per-vertex oriented adjacency is O(√m), so the
-enumeration is skew-resistant on power-law graphs), explode each
-triangle to its three canonical ``(least, greatest)`` edges, count
-support with one map-side-combined aggregation, and inner-join the
-surviving edge set. The edge set only ever shrinks and is snapshotted
-per round with ``localCheckpoint`` so lineage stays flat; at 100 TB the
-full-graph triangle enumeration is paid once on the raw scan and every
-later round touches only the surviving (typically much smaller)
-subgraph.
+The orientation is computed ONCE: undirected edges are oriented
+low-(degree, id) → high by the ORIGINAL degrees. Any acyclic
+orientation enumerates each triangle exactly once under compact-forward
+(the three edges of a discovered triangle a→b, a→c, b→c are themselves
+oriented edges), and a fixed orientation stays acyclic on every
+subgraph, while its out-degree bound — O(√m) from the degree ordering —
+only tightens as edges peel. That makes a round three built-in steps
+over the oriented survivor set: adjacency-list aggregation, the
+two-sided intersect join exploding each triangle to its three oriented
+edges, and one map-side-combined support count whose ≥ k−2 filter IS
+the next edge set (support keys ⊆ edge set) — one eager localCheckpoint
+plus its count per round, nothing else. At 100 TB the full-graph
+enumeration is paid once on the raw scan; later rounds touch only the
+surviving (typically much smaller) subgraph.
 """
 
 from __future__ import annotations
@@ -33,7 +36,6 @@ from distributed_pagerank_spark.plans.loop import (
     loop_conf,
     release_local_checkpoint,
 )
-from distributed_pagerank_spark.plans.triangles import triangle_rows
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -49,38 +51,78 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def _edge_support(spark: SparkSession, cur: DataFrame) -> DataFrame:
-    """Per-edge triangle count within ``cur`` → ``(src, dst, support)``.
+def _orient_by_degree(canon: DataFrame) -> DataFrame:
+    """Orient each canonical edge low-(degree, id) → high → ``(a, b)``."""
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    return (
+        canon.join(
+            deg.select(F.col("id").alias("src"), F.col("deg").alias("ds")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd")),
+            "dst",
+        )
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | (
+                    (F.col("ds") == F.col("dd"))
+                    & (F.col("src") < F.col("dst"))
+                ),
+                F.struct(
+                    F.col("src").alias("a"), F.col("dst").alias("b")
+                ),
+            )
+            .otherwise(
+                F.struct(F.col("dst").alias("a"), F.col("src").alias("b"))
+            )
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
 
-    Edges in no triangle are absent (support 0 implied); one triangle
-    enumeration + one aggregation.
-    """
-    tris = triangle_rows(spark, cur)
+
+def _oriented_support(o: DataFrame) -> DataFrame:
+    """Per-oriented-edge triangle count within ``o`` → ``(a, b, support)``,
+    LAZY. Compact-forward: for every oriented edge (a, b) the closing
+    corners are N⁺(a) ∩ N⁺(b); each triangle's three edges are oriented
+    edges, so support aggregates directly on the oriented key. Edges in
+    no triangle are absent (support 0 implied)."""
+    adj = o.groupBy(F.col("a").alias("v")).agg(
+        F.collect_list("b").alias("nbrs")
+    )
+    tris = (
+        o.join(adj, o["a"] == adj["v"])
+        .select("a", "b", F.col("nbrs").alias("na"))
+        .join(adj, F.col("b") == adj["v"], "left")
+        .select(
+            "a",
+            "b",
+            F.explode(
+                F.array_intersect(
+                    "na", F.coalesce("nbrs", F.array().cast("array<long>"))
+                )
+            ).alias("c"),
+        )
+    )
     corners = tris.select(
         F.explode(
             F.array(
-                F.struct(
-                    F.least("a", "b").alias("src"),
-                    F.greatest("a", "b").alias("dst"),
-                ),
-                F.struct(
-                    F.least("a", "c").alias("src"),
-                    F.greatest("a", "c").alias("dst"),
-                ),
-                F.struct(
-                    F.least("b", "c").alias("src"),
-                    F.greatest("b", "c").alias("dst"),
-                ),
+                F.struct("a", "b"),
+                F.struct(F.col("a").alias("a"), F.col("c").alias("b")),
+                F.struct(F.col("b").alias("a"), F.col("c").alias("b")),
             )
         ).alias("e")
-    ).select("e.src", "e.dst")
-    sup = (
-        corners.groupBy("src", "dst")
-        .agg(F.count("*").cast("long").alias("support"))
-        .localCheckpoint(eager=True)
+    ).select("e.a", "e.b")
+    return corners.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("support")
     )
-    release_local_checkpoint(tris)
-    return sup
 
 
 def k_truss(
@@ -99,7 +141,10 @@ def k_truss(
     if k < 3:
         raise ValueError("k must be >= 3")
     metrics = metrics_out if metrics_out is not None else []
-    cur = _canonical(edges).localCheckpoint(eager=True)
+    cur = (
+        _orient_by_degree(_canonical(edges))
+        .localCheckpoint(eager=True)
+    )
     n_cur = cur.count()
     out = None
 
@@ -108,14 +153,12 @@ def k_truss(
             t0 = time.monotonic()
             if n_cur == 0:
                 break
-            sup = _edge_support(spark, cur)
             survivors = (
-                cur.join(sup, ["src", "dst"], "inner")
+                _oriented_support(cur.select("a", "b"))
                 .where(F.col("support") >= k - 2)
                 .localCheckpoint(eager=True)
             )
             n_next = survivors.count()
-            release_local_checkpoint(sup)
             metrics.append(
                 {"round": rnd, "removed": n_cur - n_next,
                  "total_s": round(time.monotonic() - t0, 4)}
@@ -127,34 +170,46 @@ def k_truss(
                 out = survivors
                 break
             release_local_checkpoint(cur)
-            cur = survivors.select("src", "dst").localCheckpoint(eager=True)
-            release_local_checkpoint(survivors)
+            cur = survivors
             n_cur = n_next
 
     if out is None:
         if n_cur == 0:
-            # emptied: the k-truss does not exist
             out = (
                 cur.select(
-                    "src", "dst", F.lit(0).cast("long").alias("support")
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.lit(0).cast("long").alias("support"),
                 )
                 .where(F.lit(False))
                 .localCheckpoint(eager=True)
             )
-        else:
-            # max_iter exhausted mid-peel: return the current survivor
-            # set with support recomputed on it — a supergraph of the
-            # k-truss (peeling truncated early, never over-deleted)
-            sup = _edge_support(spark, cur)
-            out = (
-                cur.join(sup, ["src", "dst"], "left")
-                .select(
-                    "src", "dst",
-                    F.coalesce("support", F.lit(0))
-                    .cast("long").alias("support"),
-                )
-                .localCheckpoint(eager=True)
+            release_local_checkpoint(cur)
+            return out
+        # max_iter exhausted mid-peel: current survivor set with its
+        # support — a supergraph of the k-truss (peeling truncated
+        # early, never over-deleted)
+        sup = _oriented_support(cur.select("a", "b"))
+        out = (
+            cur.select("a", "b")
+            .join(sup, ["a", "b"], "left")
+            .select(
+                "a", "b",
+                F.coalesce("support", F.lit(0))
+                .cast("long").alias("support"),
             )
-            release_local_checkpoint(sup)
+            .localCheckpoint(eager=True)
+        )
         release_local_checkpoint(cur)
-    return out
+
+    # orientation → canonical (src < dst) output
+    final = (
+        out.select(
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+            "support",
+        )
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(out)
+    return final
