@@ -268,3 +268,46 @@ def test_bfs_round_no_cartesian_two_jobs(spark):
     out = multi_source_bfs(spark, edges, roots, max_depth=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_truss_round_reuses_adjacency_exchange_two_jobs(spark):
+    """One k-truss peel round: the oriented adjacency aggregation is
+    referenced by both sides of the intersect join — the plan must pay
+    its shuffle ONCE (ReusedExchange), and materializing the round is at
+    most two jobs (the eager localCheckpoint + its count on the cached
+    result). A lost reuse doubles the dominant shuffle at scale."""
+    from distributed_pagerank_spark.plans.truss import (
+        _canonical,
+        _orient_by_degree,
+        _oriented_support,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 30) for i in range(30)]
+        + [(i, (i + 2) % 30) for i in range(30)],
+        "src long, dst long",
+    )
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc = spark.sparkContext
+    try:
+        cur = _orient_by_degree(_canonical(edges)).localCheckpoint(
+            eager=True
+        )
+        survivors = _oriented_support(cur.select("a", "b")).where(
+            F.col("support") >= 1
+        )
+        plan = survivors._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+        assert "Cartesian" not in plan
+        sc.setJobGroup("truss-probe", "truss-probe")
+        snap = survivors.localCheckpoint(eager=True)
+        snap.count()
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+    jobs = sc.statusTracker().getJobIdsForGroup("truss-probe")
+    assert len(jobs) <= 2, f"{len(jobs)} jobs for one truss round (want <=2)"
