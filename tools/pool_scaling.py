@@ -4,7 +4,9 @@ Judge criterion (VERDICT round 2, item 7): steady median >= 0.8 in a
 single campaign, OR >= 30 pooled steady samples per level with the
 min/amortized conclusions unchanged. The round-2 campaign contributed 18
 steady samples per level, the round-3 campaign 40, the confirm pair 8,
-and the two round-4 steal-monitored pairs 8 each; all ran the IDENTICAL
+and the seven round-4 steal-monitored 8v32 campaigns 8 per pair (quiet,
+pair2, pair3, quiet3, and the two-pair pair45 and quiet2 campaigns = 16
+each); all ran the IDENTICAL
 protocol on the IDENTICAL input (n_convs=11.2M,
 seed=42, 85,121,530 edges — asserted below), interleaved fresh-JVM legs
 with warmup discard, so their steady-state per-iteration samples are
@@ -12,7 +14,7 @@ drawn from the same population and pooling is legitimate. Truncation
 (checkpoint) iterations pool the same way for the amortized statistic.
 
 Usage:
-    python tools/pool_scaling.py [result.json ...]   # default: all five
+    python tools/pool_scaling.py [result.json ...]   # default: all campaigns
 Writes BENCH/scaling_pooled.json and prints the summary line.
 """
 
@@ -28,6 +30,10 @@ DEFAULT_INPUTS = [
     "/root/repo/BENCH/scaling_result_confirm85.json",
     "/root/repo/BENCH/scaling_result_quiet_r4.json",
     "/root/repo/BENCH/scaling_result_pair2_r4.json",
+    "/root/repo/BENCH/scaling_result_pair3_r4.json",
+    "/root/repo/BENCH/scaling_result_pair45_r4.json",
+    "/root/repo/BENCH/scaling_result_quiet2_r4.json",
+    "/root/repo/BENCH/scaling_result_quiet3_r4.json",
 ]
 
 
