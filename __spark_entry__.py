@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from distributed_pagerank_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    bpe_ish_token_count,
     duplicate_line_fraction,
     duplicate_ngram_fraction,
     lang_id,
@@ -71,7 +72,10 @@ from distributed_pagerank_spark.operators.sampling import (
     sample_edges,
     sample_vertices_induced,
 )
-from distributed_pagerank_spark.sources.edgelist import read_edge_list_http
+from distributed_pagerank_spark.sources.edgelist import (
+    read_edge_list,
+    read_edge_list_http,
+)
 from distributed_pagerank_spark.sources.generator import (
     generate_graph,
     random_e_vector,
@@ -131,6 +135,7 @@ TRANSCRIPTS_PATH = "/root/repo/.cache/transcripts.parquet"
 # scratch for the streaming-sessionizer driver entry: staged source dir,
 # stream checkpoint, and the parquet sink the returned DataFrame reads
 SESSIONIZE_STREAM_DIR = "/root/repo/.cache/sessionize_stream"
+EDGELIST_FILE_DIR = "/root/repo/.cache/edgelist_file"
 # the refined-IVF entry materializes its Lloyd-refined centroids here so
 # the DuckDB twin's cell CTE reads the identical bytes
 REFINED_CENTROIDS_PATH = "/root/repo/.cache/ivf_refined_centroids.parquet"
@@ -1415,6 +1420,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return edges.orderBy("src", "dst")
     q["edgelist_http"] = _q_edgelist_http
 
+    def _q_edgelist_file(s, d):
+        """S1 as its own driver row (r4 verdict item 6): the FILE path of
+        the reference loader (pkg/graph/graph.go:178-196), exercised on a
+        deterministically staged fixture derived from the documents table
+        so the DuckDB twin can reproduce the edge multiset with pure SQL.
+        Half the lines are space-separated, half comma-separated, and
+        comment (#, //) / blank junk lines are interleaved — all three
+        skip rules plus both separators go through the codegen'd parse."""
+        docs = _t(s, d, "documents").select("doc_id")
+        lines = docs.select(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat_ws(
+                    " ",
+                    (F.col("doc_id") % 97).cast("string"),
+                    ((F.col("doc_id") % 89) + 1000).cast("string"),
+                ),
+            ).otherwise(
+                F.concat_ws(
+                    ",",
+                    (F.col("doc_id") % 97).cast("string"),
+                    ((F.col("doc_id") % 89) + 1000).cast("string"),
+                )
+            ).alias("value")
+        )
+        junk = s.createDataFrame(
+            [("# header comment",), ("// tool banner",), ("",),
+             ("   ",), ("# 7 8",)],
+            "value string",
+        )
+        lines.unionByName(junk).write.mode("overwrite").text(EDGELIST_FILE_DIR)
+        return read_edge_list(s, EDGELIST_FILE_DIR)
+    q["edgelist_file"] = _q_edgelist_file
+
     # the oracle twin unrolls exactly CC_ITERS hash-min exchanges, so this
     # entry pins algorithm='hashmin' (the engine default is 'hybrid':
     # hash-min until changed-decay stalls, then pointer jumps)
@@ -1603,6 +1642,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- text analysis ------------------------------------------------
     q["doc_token_counts"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", token_count("text").alias("tokens")
+    )
+    # sub-word-ish (BPE-proxy) token counting — the budget unit an LLM
+    # trainer actually plans in; runs of letters / digits / single
+    # punctuation, one regexp_extract_all per row, pure codegen
+    q["doc_token_counts_bpe"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", bpe_ish_token_count("text").cast("long").alias("bpe_tokens")
     )
     q["doc_lang_id"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", lang_id("text").alias("pred_lang")
@@ -1906,8 +1951,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["events_sessionize_stream"] = _q_sessionize_stream
 
+    # Registry ORDER is part of the verification contract: the driver's
+    # correctness gate checks the first 50 rows, so never-driver-verified
+    # rows, rows new this round, and rows whose code or twin changed come
+    # FIRST (r4 verdict item 2 — ann_ivf_refined and
+    # events_sessionize_stream had never been driver-run, and the 14-row
+    # dedup/ANN/events block registered last fell outside r4's window).
+    # Everything displaced past row 50 was green in CORRECTNESS_r04.
+    priority = [
+        # never driver-verified anywhere (r3/r4)
+        "ann_ivf_refined", "events_sessionize_stream",
+        # new this round
+        "edgelist_file", "doc_token_counts_bpe",
+        # engine or twin changed this round (corpus.py salted quota +
+        # quantile packing; pack_bins twin CAST)
+        "corpus_pack_bins", "corpus_quota_select",
+        # green in r03 only — re-run them before the stable graph rows
+        "dedup_exact_groups", "dedup_jaccard_pairs", "dedup_jaccard_capped",
+        "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "embedding_near_dups", "embedding_stats", "multimodal_meta",
+        "events_windowed_counts", "events_sessionize",
+    ]
+    assert all(name in q for name in priority), sorted(set(priority) - set(q))
+    ordered = {name: q[name] for name in priority}
+    ordered.update({name: fn for name, fn in q.items() if name not in ordered})
     # every callable gets conf-scoped tuning: priors restored on return
-    return {name: _scoped(fn) for name, fn in q.items()}
+    return {name: _scoped(fn) for name, fn in ordered.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1988,6 +2058,11 @@ SELECT try_cast(p[1] AS BIGINT) AS src, try_cast(p[2] AS BIGINT) AS dst
 FROM p
 WHERE try_cast(p[1] AS BIGINT) IS NOT NULL
   AND try_cast(p[2] AS BIGINT) IS NOT NULL""",
+        # the staged fixture is derived from documents deterministically,
+        # so the twin is the generator expression itself — junk lines and
+        # both separators vanish in the parse
+        "edgelist_file": "SELECT doc_id % 97 AS src, doc_id % 89 + 1000 AS dst"
+                         " FROM documents",
         "connected_components": _cc_sql(),
         "component_size_histogram": f"""WITH cc AS (
 {_cc_sql().replace(_EDGES_CTE, _SPARSE_EDGES_CTE)}),
@@ -2095,6 +2170,11 @@ GROUP BY l_returnflag, l_linestatus""",
         FROM lineitem GROUP BY l_suppkey)
 ) WHERE rk <= 5""",
         "doc_token_counts": f"SELECT doc_id, {_TOKENS_SQL_EXPR} AS tokens FROM documents",
+        "doc_token_counts_bpe": (
+            r"SELECT doc_id, len(regexp_extract_all(text,"
+            r" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens"
+            r" FROM documents"
+        ),
         "doc_lang_id": f"SELECT doc_id, {_lang_sql_expr()} AS pred_lang FROM documents",
         "doc_quality": f"SELECT doc_id, round({_quality_sql_expr()}, 6) AS quality FROM documents",
         "doc_fingerprint": f"SELECT doc_id, {_FINGERPRINT_SQL_EXPR} AS fingerprint FROM documents",
@@ -2155,9 +2235,12 @@ WHERE rank <= 10""",
   SELECT doc_id, {_TOKENS_SQL_EXPR} AS tokens FROM documents
 ),
 c AS (
+  -- CAST: DuckDB's windowed sum(BIGINT) is HUGEINT; Spark emits BIGINT
+  -- and the driver's value hash is dtype-sensitive (r4 verdict).
   SELECT doc_id, tokens,
-         sum(tokens) OVER (ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) - tokens AS start
+         CAST(sum(tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - tokens
+              AS BIGINT) AS start
   FROM t
 )
 SELECT doc_id, tokens, start,

@@ -276,16 +276,27 @@ def main() -> None:
 
     timings = {name: min(ts) for name, ts in per_rep.items()}
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    headline = {
         "metric": "headline_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "reps": reps,
-        "queries_reps": per_rep,
         "sf": sf,
         "cpus": cpus,
-    }))
+    }
+    # per-rep raw samples go to a side file, NOT the stdout line: the
+    # driver keeps only the last ~2000 bytes of stdout, and r4's line with
+    # queries_reps inlined overflowed that window — the captured tail
+    # began mid-line and BENCH_r04.json recorded parsed: null.
+    try:
+        with open("/root/repo/BENCH/bench_detail.json", "w") as f:
+            json.dump({**headline, "queries_reps": per_rep}, f, indent=1)
+    except OSError:
+        pass
+    # the headline JSON is the FINAL stdout line, nothing after it
+    sys.stdout.flush()
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

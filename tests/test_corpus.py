@@ -66,6 +66,62 @@ def test_concat_chunk_pack_bucket_count_invariance(spark):
     )
 
 
+def test_quota_select_salted_matches_single_phase(spark):
+    # deterministic total order => the salted two-phase plan must return
+    # exactly the single-phase result (n_salts=1 degenerates to classic)
+    rows = [(i, f"s{i % 4}", (i * 13) % 97) for i in range(200)]
+    order = [F.col("tokens").desc(), F.col("doc_id")]
+    base = quota_select(_docs(spark, rows), "source", 7, order_by=order,
+                        keep_rank=True, n_salts=1)
+    salted = quota_select(_docs(spark, rows), "source", 7, order_by=order,
+                          keep_rank=True, n_salts=8)
+    cols = ["doc_id", "source", "tokens", "rank"]
+    assert sorted(map(tuple, base.select(cols).collect())) == sorted(
+        map(tuple, salted.select(cols).collect())
+    )
+
+
+def test_quota_select_dominant_group_is_salt_split(spark):
+    # one domain owning almost the whole crawl: phase 1 must partition by
+    # (source, salt) — the skewed group is spread across n_salts tasks and
+    # the final per-group window only ever sees <= n_salts*quota rows.
+    rows = [(i, "megadomain", i) for i in range(500)] + [
+        (1000 + i, f"tail{i}", i) for i in range(5)
+    ]
+    out = quota_select(
+        _docs(spark, rows), "source", 10,
+        order_by=[F.col("tokens").desc(), F.col("doc_id")], n_salts=16,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "phase-1 exchange must include the salt key"
+    got = sorted(r.doc_id for r in out.where(F.col("source") == "megadomain").collect())
+    assert got == list(range(490, 500))      # top-10 tokens of the big group
+    assert out.count() == 10 + 5
+
+
+def test_concat_chunk_pack_clustered_ids_stay_balanced(spark):
+    # clustered/sparse doc-id space (two dense islands a billion apart):
+    # value-range bucketing packs everything into 2 of n buckets; the
+    # quantile buckets must stay row-balanced AND the offsets exact.
+    rows = [(i, "s", (i * 7) % 31) for i in range(40)] + [
+        (10**9 + i, "s", (i * 11) % 29) for i in range(40)
+    ]
+    out = concat_chunk_pack(
+        _docs(spark, rows), "tokens", "doc_id", chunk_tokens=16,
+        n_buckets=8, keep_bucket=True,
+    ).orderBy("doc_id").collect()
+    offset, expected = 0, []
+    for _, _, t in sorted(rows):
+        expected.append((offset, offset // 16, (offset + max(t - 1, 0)) // 16))
+        offset += t
+    assert [(r.start, r.first_bin, r.last_bin) for r in out] == expected
+    sizes = {}
+    for r in out:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert len(sizes) >= 4, f"quantile cuts collapsed: {sizes}"
+    assert max(sizes.values()) <= 2 * (80 // len(sizes)), sizes
+
+
 def test_concat_chunk_pack_empty_input(spark):
     df = _docs(spark, []).where(F.lit(False))
     out = concat_chunk_pack(df, "tokens", "doc_id", 8)

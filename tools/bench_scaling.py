@@ -323,7 +323,16 @@ def main() -> None:
                        "samples": {str(k): v for k, v in samples.items()}},
                       f, indent=1)
 
-    result = {"metric": "pagerank_scaling_efficiency_local8_vs_local32",
+    # metric label derives from the levels actually run — a hardcoded
+    # "local8_vs_local32" on a 4v16 campaign invited silent mispooling
+    # (ADVICE r4): pool_scaling.py now also asserts level-set consistency.
+    lvl_sorted = sorted(samples)
+    metric_label = (
+        f"pagerank_scaling_efficiency_local{lvl_sorted[0]}"
+        f"_vs_local{lvl_sorted[-1]}"
+        if len(lvl_sorted) >= 2 else "pagerank_scaling_efficiency"
+    )
+    result = {"metric": metric_label,
               "protocol": "interleaved fresh-JVM runs " + repr(SEQUENCE),
               "n_convs": N_CONVS, "warmup": WARMUP, "measure": MEASURE,
               "edges_path": EDGES_PATH, "levels": {}}

@@ -29,6 +29,43 @@ def norm_cell(v):
     return v
 
 
+# The driver's value hash is DTYPE-SENSITIVE across pandas KIND (r4:
+# DuckDB windowed sum(BIGINT) returns HUGEINT, which pandas renders as
+# float/object while Spark emits int64 — values identical, hash red), but
+# tolerant of signed-int WIDTH (corpus_quota_select shipped Spark int32
+# rank vs DuckDB BIGINT and stayed green). Map both engines' column types
+# onto the pandas-kind tier and flag only cross-kind drift.
+_SPARK_TIER = {
+    "bigint": "int", "long": "int", "int": "int", "integer": "int",
+    "smallint": "int", "tinyint": "int", "double": "f64", "float": "f32",
+    "string": "str", "boolean": "bool", "date": "date",
+}
+_DUCK_TIER = {
+    "BIGINT": "int", "HUGEINT": "i128", "INTEGER": "int", "SMALLINT": "int",
+    "TINYINT": "int", "UBIGINT": "u64", "DOUBLE": "f64", "FLOAT": "f32",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+}
+
+
+def _tier(mapping, t):
+    t = str(t)
+    if t.lower().startswith("timestamp") or t.upper().startswith("TIMESTAMP"):
+        return "ts"
+    if t.lower().startswith("decimal") or t.upper().startswith("DECIMAL"):
+        return "dec"
+    return mapping.get(t, mapping.get(t.upper(), t))
+
+
+def dtype_mismatches(scols, stypes, dcols, dtypes):
+    spark_t = {c.lower(): _tier(_SPARK_TIER, t) for c, t in zip(scols, stypes)}
+    duck_t = {c.lower(): _tier(_DUCK_TIER, t) for c, t in zip(dcols, dtypes)}
+    return [
+        (c, spark_t[c], duck_t[c])
+        for c in sorted(set(spark_t) & set(duck_t))
+        if spark_t[c] != duck_t[c]
+    ]
+
+
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
@@ -101,6 +138,15 @@ def main():
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
                 print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
                 ok = False
+            else:
+                bad = dtype_mismatches(
+                    scols, [t for _, t in sdf.dtypes],
+                    rel.columns, [str(t) for t in rel.types],
+                )
+                if bad:
+                    print(f"FAIL {name}: dtype tier mismatch {bad} "
+                          "(driver hash is dtype-sensitive)")
+                    ok = False
         if ok:
             print(f"ok   {name}: {len(srows)} rows match oracle ({dt:.1f}s)")
         else:

@@ -4,7 +4,7 @@ Judge criterion (VERDICT round 2, item 7): steady median >= 0.8 in a
 single campaign, OR >= 30 pooled steady samples per level with the
 min/amortized conclusions unchanged. The round-2 campaign contributed 18
 steady samples per level, the round-3 campaign 40, the confirm pair 8,
-and the seven round-4 steal-monitored 8v32 campaigns 8 per pair (quiet,
+and the six round-4 steal-monitored 8v32 campaigns 8 per pair (quiet,
 pair2, pair3, quiet3, and the two-pair pair45 and quiet2 campaigns = 16
 each); all ran the IDENTICAL
 protocol on the IDENTICAL input (n_convs=11.2M,
@@ -14,8 +14,10 @@ drawn from the same population and pooling is legitimate. Truncation
 (checkpoint) iterations pool the same way for the amortized statistic.
 
 Usage:
-    python tools/pool_scaling.py [result.json ...]   # default: all campaigns
-Writes BENCH/scaling_pooled.json and prints the summary line.
+    python tools/pool_scaling.py [--out FILE] [result.json ...]
+Defaults: all 8v32 campaigns → BENCH/scaling_pooled.json. Campaigns with
+different level sets (e.g. 4v16) must be pooled separately with explicit
+paths and --out (the level-set guard below enforces it).
 """
 
 from __future__ import annotations
@@ -40,9 +42,21 @@ DEFAULT_INPUTS = [
 def pool(paths: list[str]) -> dict:
     pooled: dict[str, dict] = {}
     campaigns = []
+    level_set: set[str] | None = None
     for p in paths:
         with open(p) as f:
             r = json.load(f)
+        # level-set consistency guard (ADVICE r4): a 4v16 campaign pooled
+        # with 8v32 campaigns passes the edges/vertices asserts but would
+        # silently produce a bogus 4-vs-32 factor-8 efficiency. All pooled
+        # campaigns must have run the SAME parallelism levels.
+        this_levels = set(r["levels"])
+        if level_set is None:
+            level_set = this_levels
+        assert this_levels == level_set, (
+            f"{p} ran levels {sorted(this_levels)} but the pool is over "
+            f"{sorted(level_set)} — pool 4v16 and 8v32 campaigns separately"
+        )
         campaigns.append({
             "path": p, "protocol": r.get("protocol"),
             "n_convs": r.get("n_convs"), "warmup": r.get("warmup"),
@@ -62,8 +76,13 @@ def pool(paths: list[str]) -> dict:
             tgt["trunc_iter_s"].extend(s["trunc_iter_s"])
             tgt["per_campaign_n"].append(len(s["steady_iter_s"]))
 
+    lvl_sorted = sorted(level_set or set(), key=int)
     out = {
-        "metric": "pagerank_scaling_efficiency_local8_vs_local32_pooled",
+        "metric": (
+            f"pagerank_scaling_efficiency_local{lvl_sorted[0]}"
+            f"_vs_local{lvl_sorted[-1]}_pooled"
+            if len(lvl_sorted) >= 2 else "pagerank_scaling_efficiency_pooled"
+        ),
         "campaigns": campaigns,
         "levels": {},
     }
@@ -91,9 +110,15 @@ def pool(paths: list[str]) -> dict:
 
 
 def main() -> None:
-    paths = sys.argv[1:] or DEFAULT_INPUTS
+    argv = sys.argv[1:]
+    out_path = "/root/repo/BENCH/scaling_pooled.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    paths = argv or DEFAULT_INPUTS
     out = pool(paths)
-    with open("/root/repo/BENCH/scaling_pooled.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items()
                       if k not in ("levels", "campaigns")}))
