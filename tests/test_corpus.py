@@ -122,6 +122,55 @@ def test_concat_chunk_pack_clustered_ids_stay_balanced(spark):
     assert max(sizes.values()) <= 2 * (80 // len(sizes)), sizes
 
 
+def test_bucket_of_bsearch_matches_filter_form(spark):
+    # >256 cuts switches _bucket_of to the balanced comparison tree;
+    # it must compute the identical "count of cuts < val" as the
+    # literal-array filter form on every side of every boundary.
+    from distributed_pagerank_spark.operators.corpus import (
+        _BSEARCH_MIN_CUTS,
+        _bucket_of,
+    )
+
+    cuts = [3 * i + 1 for i in range(_BSEARCH_MIN_CUTS + 44)]  # 300 cuts
+    vals = [0, 1, 2, 4, 450, 451, 452, 898, 899, 900, 1200]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.b
+        for r in df.select("v", _bucket_of(F.col("v"), cuts).alias("b")).collect()
+    }
+    expected = {v: sum(1 for c in cuts if c < v) for v in vals}
+    assert got == expected
+
+
+def test_quota_select_salt_skips_text_payload(spark):
+    # the salt must hash the cheap tiebreak column (last plain order_by
+    # entry), never the document text — at corpus scale hashing the
+    # payload per row to derive 4 bits of salt is pure waste (r5 verdict).
+    rows = [(i, f"s{i % 2}", "x" * 50, (i * 13) % 97) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, tokens long"
+    )
+    out = quota_select(
+        df, "source", 5,
+        order_by=[F.col("tokens").desc(), F.col("doc_id")], n_salts=8,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    salt_line = next(ln for ln in plan.splitlines() if "pmod(hash(" in ln)
+    hash_args = re.search(r"pmod\(hash\(([^)]*)\)", salt_line).group(1)
+    assert "doc_id" in hash_args and "text" not in hash_args, salt_line
+    # and the selection itself is still the exact single-phase result
+    single = quota_select(
+        df, "source", 5,
+        order_by=[F.col("tokens").desc(), F.col("doc_id")], n_salts=1,
+    )
+    cols = ["doc_id", "source", "tokens"]
+    assert sorted(map(tuple, out.select(cols).collect())) == sorted(
+        map(tuple, single.select(cols).collect())
+    )
+
+
 def test_concat_chunk_pack_empty_input(spark):
     df = _docs(spark, []).where(F.lit(False))
     out = concat_chunk_pack(df, "tokens", "doc_id", 8)
