@@ -12,6 +12,8 @@ skew.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1952,30 +1954,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_sessionize_stream"] = _q_sessionize_stream
 
     # Registry ORDER is part of the verification contract: the driver's
-    # correctness gate checks the first 50 rows, so never-driver-verified
-    # rows, rows new this round, and rows whose code or twin changed come
-    # FIRST (r4 verdict item 2 — ann_ivf_refined and
-    # events_sessionize_stream had never been driver-run, and the 14-row
-    # dedup/ANN/events block registered last fell outside r4's window).
-    # Everything displaced past row 50 was green in CORRECTNESS_r04.
-    priority = [
-        # never driver-verified anywhere (r3/r4)
-        "ann_ivf_refined", "events_sessionize_stream",
-        # new this round
-        "edgelist_file", "doc_token_counts_bpe",
-        # engine or twin changed this round (corpus.py salted quota +
-        # quantile packing; pack_bins twin CAST)
+    # correctness gate checks the first 50 rows. Order = rows whose
+    # engine code changed this round FIRST, then by last-driver-verified
+    # round (oldest first, from verified.json — regenerated each round
+    # from the CORRECTNESS_r0*.json history), then stable registration
+    # order. This rotation guarantees no row goes more than one round
+    # without a driver check (r5 verdict item 2: the hand-written
+    # priority list went stale the moment it shipped — 18 rows skipped
+    # in r05 would have been displaced again by it).
+    changed_this_round = [
+        # r6: corpus.py adaptive quantile probe + salt source
         "corpus_pack_bins", "corpus_quota_select",
-        # green in r03 only — re-run them before the stable graph rows
-        "dedup_exact_groups", "dedup_jaccard_pairs", "dedup_jaccard_capped",
-        "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
-        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "embedding_near_dups", "embedding_stats", "multimodal_meta",
-        "events_windowed_counts", "events_sessionize",
     ]
-    assert all(name in q for name in priority), sorted(set(priority) - set(q))
-    ordered = {name: q[name] for name in priority}
-    ordered.update({name: fn for name, fn in q.items() if name not in ordered})
+    verified_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "verified.json")
+    try:
+        with open(verified_path) as fh:
+            last_verified = json.load(fh)
+    except OSError:
+        last_verified = {}
+    reg_pos = {name: i for i, name in enumerate(q)}
+    changed = set(changed_this_round)
+    names = sorted(
+        q,
+        key=lambda name: (
+            0 if name in changed else 1,
+            last_verified.get(name, 0),
+            reg_pos[name],
+        ),
+    )
+    ordered = {name: q[name] for name in names}
     # every callable gets conf-scoped tuning: priors restored on return
     return {name: _scoped(fn) for name, fn in ordered.items()}
 
