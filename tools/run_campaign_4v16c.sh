@@ -8,7 +8,11 @@ set -u
 cd /root/repo
 NAME=4v16c_r5
 
-# steal monitor: epoch, user, idle, steal cumulative ticks
+# steal monitor: epoch, user, idle, steal cumulative ticks. Truncate per
+# run with a start marker so reruns never interleave epochs in one file,
+# and kill via EXIT trap so an interrupted campaign cannot leave the
+# monitor running forever (ADVICE r5).
+echo "# run start $(date +%s)" > BENCH/steal_${NAME}.log
 (
   while true; do
     read -r _ user nice system idle iowait irq softirq steal _ < /proc/stat
@@ -17,15 +21,17 @@ NAME=4v16c_r5
   done
 ) >> BENCH/steal_${NAME}.log &
 MON=$!
+trap 'kill $MON 2>/dev/null; wait $MON 2>/dev/null' EXIT
 
 SCALING_N_CONVS=11200000 SCALING_SEQUENCE=16,4,16,4 \
   python3 tools/bench_scaling.py > BENCH/scaling_${NAME}_run.log 2>&1
 RC=$?
-kill $MON 2>/dev/null
 
 if [ $RC -eq 0 ] && [ -f BENCH/scaling_result.json ]; then
   cp BENCH/scaling_result.json BENCH/scaling_result_${NAME}.json
+  # campaign complete: remove the in-flight partial so a later
+  # SCALING_RESUME=1 run can never seed stale samples (ADVICE r5)
+  rm -f BENCH/scaling_partial.json
 fi
-# restore the clobbered pooled-r3 files (campaign protocol)
-git checkout -- BENCH/scaling_result.json BENCH/scaling_partial.json 2>/dev/null
+git checkout -- BENCH/scaling_result.json 2>/dev/null
 echo "campaign ${NAME} done rc=$RC" >> BENCH/scaling_${NAME}_run.log
