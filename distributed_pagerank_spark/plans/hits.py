@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from distributed_pagerank_spark.operators.degrees import vertices_from_edges
 from distributed_pagerank_spark.plans.loop import (
+    KEEP_SESSION_CONFS,
     loop_conf,
     obs_name,
     release_local_checkpoint,
@@ -71,7 +72,7 @@ def hits(
     max_iter: int = 20,
     eps: float = 0.0,
     num_partitions: int | None = None,
-    truncate_interval: int = 3,
+    truncate_interval: int = 2,
 ) -> HitsResult:
     """Run HITS to ``max_iter`` rounds (or L1-delta ≤ eps on auth, when
     eps > 0 — the delta check costs one extra scalar agg per round over
@@ -120,7 +121,14 @@ def hits(
     since_truncate = 0
     last_truncated = None
 
-    with loop_conf(spark):
+    # KEEP_SESSION_CONFS, not the AQE-off default: unlike the PageRank
+    # loop (whose state stays co-partitioned with the edge cache and
+    # which AQE coalescing would force to re-exchange), every HITS
+    # iteration re-keys through two unavoidable gather exchanges, and
+    # AQE coalescing those tiny shuffles to a task count matching the
+    # data is a measured 30% win (r6 A/B, tools/ab_hits.py: 9.5 s vs
+    # 14.1 s at sf0.1/local[32]; with truncate_interval 2 below, 7.3 s).
+    with loop_conf(spark, confs=KEEP_SESSION_CONFS):
         while iteration < max_iter and not converged:
             iteration += 1
             t0 = time.monotonic()
@@ -172,11 +180,12 @@ def hits(
             prev_snapshot = snapshot
             state = new_state
             since_truncate += 1
-            # interval 3 (not PageRank's 5): the tree still doubles per
+            # interval 2 (not PageRank's 5): the tree still doubles per
             # iteration, but each HITS level embeds TWO chained gathers
             # (3 joins + 2 aggs), so the same 2^k replication costs ~3×
-            # more analysis — measured 9.4 s for iteration 10 at interval
-            # 5 vs ~1 s steady at interval 3 (sf0.01, local[32])
+            # more analysis. r6 A/B under session AQE (min of 4,
+            # sf0.1/local[32], 10 iters): interval 2 → 7.3 s, 3 → 7.4 s,
+            # 4 → 11.2 s, 5 → 43 s.
             if since_truncate >= truncate_interval and iteration < max_iter:
                 truncated = safe_truncate(spark, state)
                 snapshot.unpersist()

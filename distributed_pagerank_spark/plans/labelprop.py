@@ -26,6 +26,7 @@ from distributed_pagerank_spark.operators.degrees import (
 )
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
+    KEEP_SESSION_CONFS,
     loop_conf,
     obs_name,
     release_local_checkpoint,
@@ -100,7 +101,12 @@ def label_propagation(
     prev = labels
     since_truncate = 0
     last_truncated = None
-    with loop_conf(spark):
+    # KEEP_SESSION_CONFS: every round re-keys through the (dst, label)
+    # frequency exchange anyway, so AQE coalescing the tiny shuffles is a
+    # measured 12% win (r6 A/B, tools/ab_loop_aqe.py: 3.28/3.29/3.65 s
+    # AQE-on vs 3.75/4.04/4.40 s off — every rep faster), unlike the
+    # co-partition-pinned loops that keep the AQE-off default.
+    with loop_conf(spark, confs=KEEP_SESSION_CONFS):
         while rnd < rounds:
             rnd += 1
             t0 = time.monotonic()

@@ -40,16 +40,24 @@ from pyspark.sql import functions as F
 
 MANIFEST = "manifest.json"
 
-# Runtime confs pinned for the duration of an iteration loop. AQE's
-# per-materialization re-planning costs a measurable fixed fee per
-# iteration (~0.3-0.7 s at local[8]; interleaved A/B: min iter 0.49 s
-# AQE-off vs 0.76-1.26 s AQE-on on the same graph) and buys nothing
-# inside the loop: partition counts are chosen explicitly
-# (num_partitions), hub skew is handled by explicit salting, and AQE
-# coalescing can even BREAK the state/sums co-partitioning that keeps
-# the update join exchange-free. AQE stays on for one-time preparation
-# (edge product build) and for everything outside the loop.
+# Runtime confs pinned for the duration of an iteration loop — the
+# DEFAULT, re-measured per algorithm in r6 (tools/ab_loop_aqe.py,
+# interleaved at sf0.1/local[32]). AQE's per-materialization re-planning
+# costs a fixed fee per iteration and its coalescing can BREAK the
+# state/sums co-partitioning that keeps an update join exchange-free —
+# decisive for the loops whose state stays pinned to the edge layout:
+# cc 1.96× slower AQE-on, pagerank 1.21×, betweenness 1.20×, ppr 1.05×.
+# But loops whose every iteration re-keys through unavoidable exchanges
+# (HITS' two chained gathers: 0.70×, labelprop's mode-count: 0.875×) WIN
+# with AQE on — coalescing shrinks the tiny per-iteration shuffles to a
+# task count matching the data, the guide's scale-adaptive partitioning
+# (§2.2). Those loops pass KEEP_SESSION_CONFS instead. AQE stays on for
+# one-time preparation (edge product build) and everything outside loops.
 LOOP_CONFS = {"spark.sql.adaptive.enabled": "false"}
+
+# Sentinel for loops measured FASTER under the session's own (AQE-on)
+# configuration: pins nothing, keeps the caller's runtime confs live.
+KEEP_SESSION_CONFS: dict[str, str] = {}
 
 
 @contextmanager
@@ -58,9 +66,11 @@ def loop_conf(spark: SparkSession, confs: dict[str, str] | None = None):
 
     Mutable runtime SQL confs only; safe on any session (the correctness
     driver's included). Restores on exceptions too, so a failed loop never
-    leaks its conf into the caller's session.
+    leaks its conf into the caller's session. ``confs=None`` applies the
+    LOOP_CONFS default; pass KEEP_SESSION_CONFS (or any dict) to override
+    — an empty dict pins nothing.
     """
-    confs = confs or LOOP_CONFS
+    confs = LOOP_CONFS if confs is None else confs
     old: dict[str, str | None] = {}
     for k, v in confs.items():
         try:
