@@ -1965,6 +1965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed_this_round = [
         # r6: corpus.py adaptive quantile probe + salt source
         "corpus_pack_bins", "corpus_quota_select",
+        # r6: loop AQE / truncation interval (hits.py, labelprop.py)
+        "hits_k8", "label_propagation_k3",
+        # r6: similarity.py literal-array expression builders
+        "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_refined",
+        "embedding_near_dups",
     ]
     verified_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "verified.json")

@@ -22,6 +22,8 @@ Two paths:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -142,18 +144,26 @@ def lsh_bucket_col(vec_col, planes) -> F.Column:
     """Signature bucket id: sign bits against each hyperplane, packed into
     a long. Pure column expression over array<float>.
 
-    The dot products are UNROLLED into a left-to-right arithmetic chain —
-    deliberately: sequential association makes the floating-point result
-    (and hence the sign at bucket boundaries) bit-reproducible in ANSI SQL
-    oracles that sum the same way. Only safe for small ``n_planes × dim``
-    (Catalyst tree nodes scale with it); :func:`with_lsh_buckets` switches
-    to the Arrow kernel above the guard.
+    Each dot product is a LEFT-TO-RIGHT fold (``aggregate(zip_with(v, w,
+    *), 0.0, +)``) — deliberately: sequential association makes the
+    floating-point result (and hence the sign at bucket boundaries)
+    bit-reproducible in ANSI SQL oracles that sum the same way, and the
+    fold is bit-identical to the r5 unrolled arithmetic chain (verified:
+    same double bits) while building ~n_planes expression nodes instead
+    of n_planes × dim — the unrolled chain cost ~1.6 s of driver-side
+    expression construction PER CALL at dim 64 (r6 measurement), twice
+    per query. Still JVM-side only for small ``n_planes × dim``;
+    :func:`with_lsh_buckets` switches to the Arrow kernel above the
+    guard, where per-row interpreted HOF work would dominate.
     """
     bits = []
     for p_i, plane in enumerate(planes):
-        dot = F.lit(0.0)
-        for d, wgt in enumerate(plane):
-            dot = dot + F.get(vec_col, d) * float(wgt)
+        plane_lit = F.lit([float(w) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bits.append(F.when(dot >= 0, F.lit(1 << p_i).cast("long")).otherwise(F.lit(0)))
     out = F.lit(0).cast("long")
     for b in bits:
@@ -293,8 +303,23 @@ def embedding_near_duplicates(
 
 
 def _const_vec(v) -> F.Column:
-    """A centroid as a literal array<double> column."""
-    return F.array(*[F.lit(float(x)) for x in v])
+    """A centroid as a literal array<double> column (ONE plan node /
+    driver call — the per-element F.lit form cost O(dim) py4j roundtrips
+    per centroid, r6 measurement)."""
+    return F.lit([float(x) for x in v])
+
+
+def _const_norm(v) -> float:
+    """L2 norm of a literal vector, computed driver-side with the exact
+    fold order and IEEE ops of :func:`_norm` (left-to-right double
+    accumulation, correctly-rounded sqrt) — bit-identical to evaluating
+    the norm expression over the literal array, without re-deriving a
+    constant per ROW at runtime (HOFs are not constant-folded)."""
+    s = 0.0
+    for x in v:
+        x = float(x)
+        s += x * x
+    return math.sqrt(s)
 
 
 def _centroid_sim_structs(vec_col, centroids) -> F.Column:
@@ -316,7 +341,7 @@ def _centroid_sim_structs(vec_col, centroids) -> F.Column:
                 F.nanvl(
                     F.try_divide(
                         _dot(v, _const_vec(cv)),
-                        _norm(v) * _norm(_const_vec(cv)),
+                        _norm(v) * F.lit(_const_norm(cv)),
                     ),
                     F.lit(-1.0),
                 ),
