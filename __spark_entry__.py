@@ -1970,6 +1970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: similarity.py literal-array expression builders
         "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_refined",
         "embedding_near_dups",
+        # r6: bfs.py observation-fused depth job; betweenness.py
+        # aggregate-before-anti-join
+        "bfs_multi_source", "betweenness_sampled",
+        "harmonic_centrality", "root_eccentricity",
     ]
     verified_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "verified.json")

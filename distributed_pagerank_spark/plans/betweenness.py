@@ -89,10 +89,17 @@ def betweenness(
                 frontier.join(e, frontier["id"] == e["src"])
                 .select("root", F.col("dst").alias("id"), "sigma")
             )
+            # aggregate BEFORE the anti-join (guide §2.3): the sigma sum
+            # gets map-side partial aggregation, so the (root,id,sigma)
+            # exchange carries one row per pair instead of one per path,
+            # and the anti-join then reuses the groupBy's (root,id)
+            # partitioning — one exchange of the candidate stream, not
+            # two. Identical result: pairs the anti-join drops are
+            # dropped whole, kept pairs sum the same rows.
             nxt = (
-                cand.join(visited, ["root", "id"], "left_anti")
-                .groupBy("root", "id")
+                cand.groupBy("root", "id")
                 .agg(F.sum("sigma").alias("sigma"))
+                .join(visited, ["root", "id"], "left_anti")
                 .localCheckpoint(eager=True)
             )
             n = nxt.count()
@@ -122,9 +129,12 @@ def betweenness(
             t0 = time.monotonic()
             cur = levels[lev]
             if delta_above is None:
+                # deepest level: delta is a literal over an
+                # already-checkpointed slice — no data to snapshot, no
+                # lineage to cut, so no checkpoint job (r6: one job less)
                 cur_delta = cur.select(
                     "root", "id", "sigma", F.lit(0.0).alias("delta")
-                ).localCheckpoint(eager=True)
+                )
             else:
                 # hand-back join: v (level lev) → w (level lev+1) edges
                 w = delta_above.select(

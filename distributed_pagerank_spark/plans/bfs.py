@@ -25,8 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_pagerank_spark.operators.degrees import symmetrize
+from pyspark.sql import Observation
+
 from distributed_pagerank_spark.plans.loop import (
     loop_conf,
+    obs_name,
     release_local_checkpoint,
     safe_truncate,
 )
@@ -89,16 +92,30 @@ def multi_source_bfs(
                 candidates.join(visited, ["root", "id"], "left_anti")
                 .persist()
             )
-            n_new = new_frontier.count()
+            # ONE job per depth (was two): materializing the union caches
+            # new_frontier's partitions on the way (persist above), and an
+            # Observation counts the depth's new rows as a side-effect —
+            # valid because every pre-existing visited row has dist <
+            # depth, so the predicate counts exactly the new frontier.
+            obs = Observation(obs_name(f"bfs_newrows_{depth}"))
+            new_visited = (
+                visited.unionByName(new_frontier)
+                .observe(
+                    obs,
+                    F.sum((F.col("dist") == depth).cast("long")).alias("n_new"),
+                )
+                .persist()
+            )
+            new_visited.count()
+            n_new = int(obs.get["n_new"] or 0)
             if n_new == 0:
+                new_visited.unpersist()
                 new_frontier.unpersist()
                 metrics.append(
                     {"depth": depth, "frontier_rows": 0,
                      "total_s": round(time.monotonic() - t0, 4)}
                 )
                 break
-            new_visited = visited.unionByName(new_frontier).persist()
-            new_visited.count()
             # both successors are materialized — release the predecessors
             # (at depth 1 frontier IS visited: release once, not twice).
             # Never release the live truncation leaf: new_visited's lineage
