@@ -1974,6 +1974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregate-before-anti-join
         "bfs_multi_source", "betweenness_sampled",
         "harmonic_centrality", "root_eccentricity",
+        # r6: pagerank.py fused state-init count + observed final norm
+        "pagerank_k5", "pagerank_k5_salted", "pagerank_k5_redistribute",
+        "pagerank_k5_weighted", "pagerank_seeded_e", "pagerank_transcripts",
     ]
     verified_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "verified.json")

@@ -192,11 +192,10 @@ def pagerank(
         if normalize_e:
             total_e = verts.agg(F.sum("e")).first()[0] or 1.0
             verts = verts.withColumn("e", F.col("e") / F.lit(float(total_e)))
-    else:
-        n0 = verts.count()
-        if n0 == 0:
-            raise ValueError("empty edge table: no vertices to rank")
-        verts = verts.withColumn("e", F.lit(1.0 / n0))
+    # uniform e (1/n) is filled during state init below: the vertex count
+    # rides the state materialization as a broadcast one-row aggregate
+    # instead of paying its own driver job (r6; the empty-graph check
+    # moves to the state count, same ValueError)
 
     # --- dangling flag (for redistribute mode) -----------------------
     # carried as a state column so the per-iteration dangling mass can be
@@ -238,11 +237,20 @@ def pagerank(
                     return PageRankResult(ranks, it, last_delta, True)
             # mismatched fingerprint: stale dir from another job — start fresh
     if state is None:
-        n = verts.count()
-        if n == 0:
-            raise ValueError("empty edge table: no vertices to rank")
-        state = verts.select(
-            "id", "e", F.lit(1.0 / n).alias("rank"), *state_cols[3:]
+        # ONE materializing job instead of three (verts count for e,
+        # verts count for rank, state count): the vertex count joins in
+        # as a broadcast one-row aggregate and ``1.0 / __n`` is the same
+        # IEEE double division the former Python literal performed.
+        cnt = verts.agg(F.count(F.lit(1)).alias("__n"))
+        base = verts.crossJoin(F.broadcast(cnt))
+        e_col = (
+            F.col("e") if e is not None else (F.lit(1.0) / F.col("__n"))
+        )
+        state = base.select(
+            "id",
+            e_col.alias("e"),
+            (F.lit(1.0) / F.col("__n")).alias("rank"),
+            *state_cols[3:],
         )
     # co-partition the state with the edge table's layout and pin it;
     # the iteration chain keeps this partitioning (join outputs inherit
@@ -257,6 +265,8 @@ def pagerank(
         .persist()
     )
     n = state.count()
+    if n == 0:
+        raise ValueError("empty edge table: no vertices to rank")
     # the vertex set (and anything else derived from the raw input) is now
     # baked into cached state/edge-product DFs — drop the distinct-edge cache
     edges_cached.unpersist()
@@ -294,6 +304,7 @@ def pagerank(
     prev_snapshot = state
     since_truncate = 0
     last_truncated = None  # strong ref across truncations (GC-race guard)
+    last_rank_sum = None  # observed Σrank of the final state (see below)
 
     with loop_conf(spark):
         while not converged and iteration < max_iter:
@@ -338,7 +349,11 @@ def pagerank(
             # the next iteration's dangling mass) as a side-effect — no second
             # pass over the rank vector.
             obs = Observation(obs_name(f"pagerank_delta_{iteration}"))
-            obs_aggs = [F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta")]
+            obs_aggs = [F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
+                        # rides the same job so the final 'reference'
+                        # normalization needs no extra aggregate pass
+                        # (same pattern as the HITS a_mass observation)
+                        F.sum("rank").alias("rank_sum")]
             if dangling == "redistribute":
                 obs_aggs.append(
                     F.sum(F.when(F.col("dang"), F.col("rank"))).alias("dang_mass")
@@ -352,6 +367,7 @@ def pagerank(
             t2 = time.monotonic()
             observed = obs.get
             delta = observed["delta"] or 0.0
+            last_rank_sum = observed["rank_sum"]
             if dangling == "redistribute":
                 dang_mass = observed["dang_mass"] or 0.0
             t3 = time.monotonic()
@@ -409,9 +425,17 @@ def pagerank(
             metrics.append(iter_metrics)
 
     # --- final normalization (reference: pagerank.go:38-45) ----------
+    # Σrank of the final state was observed on its materializing job
+    # (state after a truncation holds the same rows, so the sum is still
+    # valid); only a zero-iteration run (resume already past eps) pays
+    # the aggregate.
     ranks = state.select("id", "rank")
     if dangling == "reference":
-        total = ranks.agg(F.sum("rank")).first()[0] or 1.0
+        total = (
+            last_rank_sum
+            if last_rank_sum is not None
+            else ranks.agg(F.sum("rank")).first()[0]
+        ) or 1.0
         ranks = ranks.withColumn("rank", F.col("rank") / F.lit(float(total)))
 
     edges_w.unpersist()
