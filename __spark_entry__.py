@@ -1977,6 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: pagerank.py fused state-init count + observed final norm
         "pagerank_k5", "pagerank_k5_salted", "pagerank_k5_redistribute",
         "pagerank_k5_weighted", "pagerank_seeded_e", "pagerank_transcripts",
+        # r6: hits.py fused init count; ppr.py lazy initial state
+        "ppr_multi_seed",
     ]
     verified_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "verified.json")

@@ -98,21 +98,25 @@ def hits(
     e_dst.count()
     verts = vertices_from_edges(e)
 
-    n = verts.count()
+    # auth-only state (module docstring): hub_0 is the uniform 1/n vector,
+    # so round 1's hub gather source IS the init state. The vertex count
+    # rides the state materialization as a broadcast one-row aggregate
+    # (1.0/__n is the same IEEE double division as the former Python
+    # literal) instead of paying its own driver job (r6).
+    cnt = verts.agg(F.count(F.lit(1)).alias("__n"))
+    state = (
+        verts.crossJoin(F.broadcast(cnt))
+        .select("id", (F.lit(1.0) / F.col("__n")).alias("auth"))
+        .repartition(num_partitions, "id")
+        .sortWithinPartitions("id")
+        .persist()
+    )
+    n = state.count()
     if n == 0:
         e.unpersist()
         e_src.unpersist()
         e_dst.unpersist()
         raise ValueError("empty edge table: no vertices to score")
-    # auth-only state (module docstring): hub_0 is the uniform 1/n vector,
-    # so round 1's hub gather source IS the init state
-    state = (
-        verts.select("id", F.lit(1.0 / n).alias("auth"))
-        .repartition(num_partitions, "id")
-        .sortWithinPartitions("id")
-        .persist()
-    )
-    state.count()
     e.unpersist()
 
     metrics: list[dict[str, Any]] = []

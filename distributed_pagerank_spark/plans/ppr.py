@@ -83,8 +83,14 @@ def personalized_pagerank_multi(
     if e_vec.count() == 0:
         raise ValueError("empty seeds: no personalization vectors to rank")
 
-    state = e_vec.select("set_id", "id", F.col("e").alias("rank")).persist()
-    state.count()
+    # initial state is a projection over the just-materialized e_vec
+    # cache — no separate persist+count job (r6). Iteration 1 reads it
+    # through the cache; only a zero-iteration call (k=0) pins it, so the
+    # lazily-returned result keeps a materialized backing either way.
+    state = e_vec.select("set_id", "id", F.col("e").alias("rank"))
+    if k < 1:
+        state = state.persist()
+        state.count()
 
     metrics = metrics_out if metrics_out is not None else []
     prev_snapshot, last_truncated, since_truncate = state, None, 0
