@@ -80,7 +80,9 @@ def betweenness(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    visited = frontier.select("root", "id").localCheckpoint(eager=True)
+    # depth-0 visited set: a projection of the just-checkpointed frontier
+    # — flat lineage already, no second checkpoint job needed (r6)
+    visited = frontier.select("root", "id")
     levels.append(frontier)
     with loop_conf(spark):
         for depth in range(1, max_depth + 1):

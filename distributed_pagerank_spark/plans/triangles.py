@@ -46,7 +46,9 @@ def oriented_edges(edges: DataFrame, _sym: DataFrame | None = None) -> DataFrame
     ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
 
 
-def triangle_rows(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def triangle_rows(
+    spark: SparkSession, edges: DataFrame, _sym: DataFrame | None = None
+) -> DataFrame:
     """Enumerate each undirected triangle exactly once → ``(a, b, c)``.
 
     Compact-forward over the degree-ordered orientation: for every
@@ -57,10 +59,14 @@ def triangle_rows(spark: SparkSession, edges: DataFrame) -> DataFrame:
     count; the degree ordering bounds every adjacency list at O(√m), so
     the explode is skew-safe on power-law graphs.
     """
-    sym = symmetrize(edges).persist()
+    # _sym: a caller-held symmetrized cache (symmetrize is idempotent on
+    # result, so re-symmetrizing it only wasted a second explode+distinct
+    # pass + cache — r6); only a self-built cache is released here.
+    sym = _sym if _sym is not None else symmetrize(edges).persist()
     o = oriented_edges(edges, _sym=sym).persist()
     o.count()
-    sym.unpersist()
+    if _sym is None:
+        sym.unpersist()
     adj = o.groupBy(F.col("a").alias("v")).agg(F.collect_list("b").alias("nbrs"))
     with_a = o.join(adj, o["a"] == adj["v"]).select(
         "a", "b", F.col("nbrs").alias("na")
@@ -100,7 +106,7 @@ def local_clustering_coefficient(
         F.count("*").alias("degree")
     )
     corners = (
-        triangle_rows(spark, sym)
+        triangle_rows(spark, sym, _sym=sym)
         .select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
