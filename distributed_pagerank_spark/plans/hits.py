@@ -94,8 +94,10 @@ def hits(
     e_dst = (
         e.repartition(num_partitions, "dst").sortWithinPartitions("dst").persist()
     )
-    e_src.count()
-    e_dst.count()
+    # one materializing job fills BOTH orientation caches: evaluating the
+    # union evaluates each child, populating its persisted blocks (r6;
+    # same observation-era fusion pattern as plans/bfs.py)
+    e_src.unionByName(e_dst).count()
     verts = vertices_from_edges(e)
 
     # auth-only state (module docstring): hub_0 is the uniform 1/n vector,
