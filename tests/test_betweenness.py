@@ -108,3 +108,28 @@ def test_betweenness_generated_matches_brute(spark):
 def test_betweenness_root_not_in_graph(spark):
     got = run(spark, [(0, 1), (1, 2)], [99, 0])
     assert got == want([(0, 1), (1, 2)], [99, 0])
+
+
+def test_betweenness_factor_agg_branch_matches_brute(spark):
+    # shrinking-level funnel: root 0 → 20 level-1 vertices → 2 level-2
+    # vertices, so the backward pass at level 1 sees |w|=2 < |cur|=20 and
+    # takes the broadcast factor-aggregate shape (delta = sigma · Σ f_w);
+    # the expanding shape (|w| ≥ |cur|) is covered by the graphs above.
+    pairs = [(0, i) for i in range(1, 21)]
+    pairs += [(i, 100) for i in range(1, 21)]
+    pairs += [(i, 101) for i in range(1, 11)]
+    got = run(spark, pairs, [0], max_depth=3)
+    expected = want(pairs, [0], max_depth=3)
+    assert set(got) == set(expected)
+    for v in expected:
+        assert abs(got[v] - expected[v]) < 1e-9, v
+
+
+def test_broadcast_row_limit_parses_size_confs():
+    from distributed_pagerank_spark.plans.betweenness import _parse_bytes
+
+    assert _parse_bytes("10485760b") == 10485760
+    assert _parse_bytes("10MB") == 10 * 1024 * 1024
+    assert _parse_bytes("1g") == 1024**3
+    assert _parse_bytes("-1") == -1  # disabled → limit clamps to 0
+    assert _parse_bytes("garbage") == 0
