@@ -130,7 +130,8 @@ def betweenness(
             F.lit(1.0).alias("sigma"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: materialized inside the depth-1 job on first use
+        .localCheckpoint(eager=False)
     )
     # The visited set is a LAZY UNION over the checkpointed slice leaves
     # (each already flat) — the anti-join reads the same cached bytes a
@@ -154,11 +155,15 @@ def betweenness(
             # partitioning — one exchange of the candidate stream, not
             # two. Identical result: pairs the anti-join drops are
             # dropped whole, kept pairs sum the same rows.
+            # LAZY checkpoint: the termination count right below is the
+            # materializing action, so each depth pays ONE job for
+            # compute+cache+count instead of an eager-checkpoint job
+            # followed by a count job (r6 third wave).
             nxt = (
                 cand.groupBy("root", "id")
                 .agg(F.sum("sigma").alias("sigma"))
                 .join(visited, ["root", "id"], "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             n = nxt.count()
             metrics.append(

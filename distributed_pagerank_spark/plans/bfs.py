@@ -14,6 +14,15 @@ every root and every round, exactly like the multi-seed PPR loop
 Unweighted shortest paths only: the first round that reaches a vertex
 fixes its distance, so no relaxation or re-visits occur — each round is
 one join + one distinct + one anti-join against the visited set.
+
+Each round's new frontier is a LAZILY localCheckpoint-ed slice whose
+termination count doubles as the materializing action — ONE job per
+depth that computes and caches only the |frontier| new rows. The
+visited set is a lazy union over those flat slice leaves (the
+betweenness forward-pass economy, ``plans/betweenness.py``): the
+anti-join reads the same cached bytes a materialized union would hold,
+but no depth ever re-writes the O(|visited|) union, and lineage stays
+flat without any separate truncation step.
 """
 
 from __future__ import annotations
@@ -25,13 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_pagerank_spark.operators.degrees import symmetrize
-from pyspark.sql import Observation
 
 from distributed_pagerank_spark.plans.loop import (
     loop_conf,
-    obs_name,
     release_local_checkpoint,
-    safe_truncate,
 )
 
 
@@ -56,6 +62,11 @@ def multi_source_bfs(
 
     Rounds run to ``max_depth`` or until every frontier is empty,
     whichever is first. The visited set is the result.
+
+    ``truncate_interval`` is retained for API compatibility but unused:
+    per-depth slices are flat checkpoint leaves, so the visited union's
+    lineage is already bounded by ``max_depth`` leaf references and
+    never needs a separate truncation pass.
     """
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     e = edges if directed else symmetrize(edges)
@@ -75,9 +86,11 @@ def multi_source_bfs(
     if frontier.count() == 0:
         e.unpersist()
         raise ValueError("empty sources: no BFS roots")
+    # the visited set is a lazy union over the per-depth slices (module
+    # docstring); every slice is part of the returned result, so nothing
+    # is released in-loop
     visited = frontier  # depth 0: the visited set IS the frontier
     metrics = metrics_out if metrics_out is not None else []
-    last_truncated, since_truncate = None, 0
 
     with loop_conf(spark):
         for depth in range(1, max_depth + 1):
@@ -88,60 +101,24 @@ def multi_source_bfs(
                 .distinct()
                 .withColumn("dist", F.lit(depth))
             )
+            # LAZY checkpoint: the termination count below is the
+            # materializing action — ONE job per depth, writing only the
+            # |frontier| new rows (the old shape re-materialized the
+            # whole visited union each depth).
             new_frontier = (
                 candidates.join(visited, ["root", "id"], "left_anti")
-                .persist()
+                .localCheckpoint(eager=False)
             )
-            # ONE job per depth (was two): materializing the union caches
-            # new_frontier's partitions on the way (persist above), and an
-            # Observation counts the depth's new rows as a side-effect —
-            # valid because every pre-existing visited row has dist <
-            # depth, so the predicate counts exactly the new frontier.
-            obs = Observation(obs_name(f"bfs_newrows_{depth}"))
-            new_visited = (
-                visited.unionByName(new_frontier)
-                .observe(
-                    obs,
-                    F.sum((F.col("dist") == depth).cast("long")).alias("n_new"),
-                )
-                .persist()
-            )
-            new_visited.count()
-            n_new = int(obs.get["n_new"] or 0)
-            if n_new == 0:
-                new_visited.unpersist()
-                new_frontier.unpersist()
-                metrics.append(
-                    {"depth": depth, "frontier_rows": 0,
-                     "total_s": round(time.monotonic() - t0, 4)}
-                )
-                break
-            # both successors are materialized — release the predecessors
-            # (at depth 1 frontier IS visited: release once, not twice).
-            # Never release the live truncation leaf: new_visited's lineage
-            # bottoms out at it, and if safe_truncate fell back to
-            # localCheckpoint a released leaf cannot recompute — it is
-            # released at the NEXT truncation instead (pagerank protocol).
-            if frontier is not visited:
-                frontier.unpersist()
-            if visited is not last_truncated:
-                release_local_checkpoint(visited)
-            frontier, visited = new_frontier, new_visited
-            since_truncate += 1
-            if since_truncate >= truncate_interval and depth < max_depth:
-                truncated = safe_truncate(spark, visited)
-                visited.unpersist()
-                visited = truncated
-                if last_truncated is not None:
-                    release_local_checkpoint(last_truncated)
-                last_truncated = truncated
-                since_truncate = 0
+            n_new = new_frontier.count()
             metrics.append(
                 {"depth": depth, "frontier_rows": n_new,
                  "total_s": round(time.monotonic() - t0, 4)}
             )
+            if n_new == 0:
+                release_local_checkpoint(new_frontier)
+                break
+            visited = visited.unionByName(new_frontier)
+            frontier = new_frontier
 
     e.unpersist()
-    if frontier is not visited:
-        frontier.unpersist()  # its rows live on in the visited union
     return visited.select("root", "id", "dist")
