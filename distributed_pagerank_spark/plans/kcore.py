@@ -30,7 +30,6 @@ from distributed_pagerank_spark.operators.degrees import symmetrize
 from distributed_pagerank_spark.plans.loop import (
     loop_conf,
     release_local_checkpoint,
-    safe_truncate,
 )
 
 # removed-vertex sets at or below this row count ship as broadcast
@@ -65,8 +64,15 @@ def k_core(
     )
     cur.count()
     metrics = metrics_out if metrics_out is not None else []
-    since_truncate = 0
-    last_truncated = None
+    # ONE job per round (r6 third wave): the surviving edge set is a
+    # LAZY localCheckpoint whose materializing action is the NEXT
+    # round's removed-count (which scans it for degrees anyway) — the
+    # old shape paid a second count job per round just to materialize.
+    # Leaf slices also cut the logical plan every round, so the
+    # safe_truncate cadence (``truncate_interval``, kept for API
+    # compatibility) has nothing left to truncate. Predecessor state is
+    # released only AFTER the count that materializes its successor.
+    pending: list[DataFrame] = []
 
     with loop_conf(spark):
         for rnd in range(1, max_iter + 1):
@@ -76,6 +82,9 @@ def k_core(
             )
             removed = deg.where(F.col("degree") < k).select("id").persist()
             n_removed = removed.count()
+            for df in pending:
+                release_local_checkpoint(df)
+            pending = []
             if n_removed == 0:
                 removed.unpersist()
                 metrics.append(
@@ -91,21 +100,12 @@ def k_core(
             nxt = (
                 cur.join(rem, cur["src"] == rem["id"], "left_anti")
                 .join(rem, cur["dst"] == rem["id"], "left_anti")
-                .persist()
+                .localCheckpoint(eager=False)
             )
-            nxt.count()
-            release_local_checkpoint(cur)
-            removed.unpersist()
+            # cur and removed are referenced by nxt's un-materialized
+            # plan — release them after the next materializing count
+            pending = [cur, removed]
             cur = nxt
-            since_truncate += 1
-            if since_truncate >= truncate_interval:
-                truncated = safe_truncate(spark, cur)
-                cur.unpersist()
-                if last_truncated is not None:
-                    release_local_checkpoint(last_truncated)
-                last_truncated = truncated
-                cur = truncated
-                since_truncate = 0
             metrics.append(
                 {"round": rnd, "removed": n_removed,
                  "total_s": round(time.monotonic() - t0, 4)}
@@ -116,6 +116,8 @@ def k_core(
         .agg(F.count("*").cast("long").alias("degree"))
         .localCheckpoint(eager=True)
     )
+    for df in pending:
+        release_local_checkpoint(df)
     release_local_checkpoint(cur)
     return out
 
@@ -168,6 +170,13 @@ def coreness(
     )
     assigned_parts: list[DataFrame] = []
     removed_leaves: list[DataFrame] = []  # released after `out` materializes
+    # ONE job per peel round (r6 third wave, same shape as k_core): the
+    # removed set's count is the only materializing action — it also
+    # computes the previous round's LAZY edge/alive successors on the
+    # way (the degree scan reads both), so the old per-round pair of
+    # eager edge/alive checkpoint jobs disappears. Predecessors are
+    # released only after the count that materializes their successors.
+    pending: list[DataFrame] = []
 
     with loop_conf(spark):
         k = 0
@@ -183,9 +192,12 @@ def coreness(
                     alive.join(deg, "id", "left")
                     .where(F.coalesce("degree", F.lit(0)) < k)
                     .select("id")
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
                 n_removed = removed.count()
+                for df in pending:
+                    release_local_checkpoint(df)
+                pending = []
                 if n_removed == 0:
                     release_local_checkpoint(removed)
                     break
@@ -204,13 +216,12 @@ def coreness(
                 nxt = (
                     cur.join(rem, cur["src"] == rem["id"], "left_anti")
                     .join(rem, cur["dst"] == rem["id"], "left_anti")
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
                 nxt_alive = alive.join(
                     rem, alive["id"] == rem["id"], "left_anti"
-                ).localCheckpoint(eager=True)
-                release_local_checkpoint(cur)
-                release_local_checkpoint(alive)
+                ).localCheckpoint(eager=False)
+                pending = [cur, alive]
                 cur, alive = nxt, nxt_alive
             metrics.append(
                 {"k": k, "removed": level_removed,
@@ -220,6 +231,8 @@ def coreness(
                 break
 
     release_local_checkpoint(cur)
+    for df in pending:
+        release_local_checkpoint(df)
     labeled = None
     for part in assigned_parts:
         labeled = part if labeled is None else labeled.unionByName(part)

@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from distributed_pagerank_spark.plans.loop import (
     loop_conf,
     release_local_checkpoint,
-    safe_truncate,
 )
 from distributed_pagerank_spark.plans.pagerank import _prepare_edges
 
@@ -93,8 +92,19 @@ def personalized_pagerank_multi(
         state.count()
 
     metrics = metrics_out if metrics_out is not None else []
-    prev_snapshot, last_truncated, since_truncate = state, None, 0
+    prev_snapshot = state if k < 1 else None
 
+    # Fixed iteration count, no per-iteration convergence statistic, and
+    # the state appears exactly ONCE in each iteration's plan (the
+    # contribution join; the update joins the pinned seed cache, not the
+    # state) — so the logical plan grows LINEARLY per iteration and
+    # iterations can chain LAZILY between materialization barriers
+    # (r6 third wave). A barrier every ``truncate_interval`` iterations
+    # (and always at iteration k) lazily checkpoints the chain and uses
+    # the row count as the materializing action: one driver job per
+    # barrier instead of one per iteration, with the same exchanges
+    # inside. ``state_rows`` is recorded at barriers (None between —
+    # nothing materializes there to count).
     with loop_conf(spark):
         for iteration in range(1, k + 1):
             t0 = time.monotonic()
@@ -103,32 +113,21 @@ def personalized_pagerank_multi(
                 .groupBy("set_id", F.col("dst").alias("id"))
                 .agg(F.sum(F.col("rank") / F.col("out_degree")).alias("__s"))
             )
-            new_state = (
-                contribs.join(e_vec, ["set_id", "id"], "full_outer")
-                .select(
-                    "set_id", "id",
-                    (
-                        F.lit(c) * F.coalesce(F.col("__s"), F.lit(0.0))
-                        + F.lit(1.0 - c) * F.coalesce(F.col("e"), F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .persist()
+            new_state = contribs.join(e_vec, ["set_id", "id"], "full_outer").select(
+                "set_id", "id",
+                (
+                    F.lit(c) * F.coalesce(F.col("__s"), F.lit(0.0))
+                    + F.lit(1.0 - c) * F.coalesce(F.col("e"), F.lit(0.0))
+                ).alias("rank"),
             )
-            rows = new_state.count()
+            rows = None
+            if iteration % truncate_interval == 0 or iteration == k:
+                new_state = new_state.localCheckpoint(eager=False)
+                rows = new_state.count()
+                if prev_snapshot is not None:
+                    release_local_checkpoint(prev_snapshot)
+                prev_snapshot = new_state
             state = new_state
-            if prev_snapshot is not None:
-                release_local_checkpoint(prev_snapshot)
-            prev_snapshot = new_state
-            since_truncate += 1
-            if since_truncate >= truncate_interval and iteration < k:
-                truncated = safe_truncate(spark, state)
-                state.unpersist()
-                state = truncated
-                if last_truncated is not None:
-                    release_local_checkpoint(last_truncated)
-                last_truncated = truncated
-                prev_snapshot = None
-                since_truncate = 0
             metrics.append(
                 {"iteration": iteration, "state_rows": rows,
                  "total_s": round(time.monotonic() - t0, 4)}

@@ -141,9 +141,12 @@ def k_truss(
     if k < 3:
         raise ValueError("k must be >= 3")
     metrics = metrics_out if metrics_out is not None else []
+    # LAZY checkpoints throughout the peel: each count right below is
+    # the materializing action, so every round pays ONE job for
+    # compute+cache+count instead of two (r6 third wave).
     cur = (
         _orient_by_degree(_canonical(edges))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_cur = cur.count()
     out = None
@@ -156,7 +159,7 @@ def k_truss(
             survivors = (
                 _oriented_support(cur.select("a", "b"))
                 .where(F.col("support") >= k - 2)
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             n_next = survivors.count()
             metrics.append(
