@@ -198,7 +198,9 @@ def connected_components(
                 release_local_checkpoint(prev)
             prev = new_labels
             since_truncate += 1
-            if since_truncate >= 5:
+            # no truncation when the loop is about to exit (converged or
+            # budget exhausted) — the final state needs no lineage cut
+            if since_truncate >= 5 and changed != 0 and iteration < max_iter:
                 truncated = safe_truncate(spark, labels)  # see pagerank
                 labels.unpersist()
                 # the new truncation is materialized (eager), so the

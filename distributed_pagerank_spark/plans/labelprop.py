@@ -142,7 +142,9 @@ def label_propagation(
                 release_local_checkpoint(prev)
             prev = new_labels
             since_truncate += 1
-            if since_truncate >= 5:
+            # no truncation when the loop is about to exit (converged or
+            # round budget exhausted) — the final state needs no lineage cut
+            if since_truncate >= 5 and changed != 0 and rnd < rounds:
                 truncated = safe_truncate(spark, labels)  # see pagerank
                 labels.unpersist()
                 # release the previous truncated state (loop-owned) now

@@ -400,7 +400,15 @@ def pagerank(
                     {"algo": "pagerank", "delta": delta, "converged": converged,
                      "fingerprint": fingerprint, "metrics": iter_metrics},
                 )
-            if since_truncate >= truncate_interval and not converged:
+            # skip the truncation when the loop is about to exit anyway
+            # (converged OR iteration budget exhausted) — the final
+            # state needs no lineage cut, so a k=truncate_interval run
+            # pays zero truncation jobs (r6 third wave)
+            if (
+                since_truncate >= truncate_interval
+                and not converged
+                and iteration < max_iter
+            ):
                 # cut the logical-plan chain so analyzer cost stays bounded.
                 # Reliable checkpoint (independent files, no dependence on the
                 # cache we are about to drop — localCheckpoint here would race
