@@ -16,17 +16,23 @@ normalization is scale-invariant, substituting the hub update into the
 auth update gives ``auth_i = norm(Eᵀ·(E·auth_{i-1}))`` EXACTLY — the
 intermediate hub vector needs no normalization of its own (the scalar
 cancels inside norm), so the loop carries just the auth vector and
-chains both gathers inside a single DAG per iteration. The L1 auth mass
-rides the job as an Observation side-output and the normalizing division
-is applied lazily as a driver literal over the cached snapshot — exact
-per-step normalization at zero extra jobs, no magnitude drift. The hub
-vector is derived once after the loop (``hub = norm(E·auth_k)``).
+chains both gathers inside a single DAG per iteration. Each iteration's
+raw snapshot is a LAZY ``localCheckpoint`` whose materializing action is
+the L1 auth-mass aggregate itself (r6: one job per iteration computes
+the state, caches it at the RDD layer, cuts lineage, AND returns the
+scalar — no Observation, no separate persist, zero truncation jobs);
+the normalizing division is applied lazily as a driver literal over the
+checkpointed snapshot — exact per-step normalization, no magnitude
+drift. The hub vector is derived once after the loop
+(``hub = norm(E·auth_k)``).
 
-This also bounds logical-plan growth at ×2 per iteration (the state is
-referenced twice: row base + gather source — same as the PageRank loop),
-where a hub-and-auth state would double TWICE per round (×4) and push
-Catalyst analysis cost past the compute cost within ~6 rounds (measured:
-14.8 s for iteration 8 in the two-state shape vs ~1.3 s steady here).
+Cutting lineage EVERY iteration (free here — the checkpoint rides the
+mass job) also kills the ×2-per-iteration logical-plan growth the state
+double-reference used to cause (row base + gather source), which is why
+the old shape needed an interval-2 eager-truncation cadence (r6 A/B:
+interval 4 → 11.2 s, 5 → 43 s of pure Catalyst analysis; a
+hub-and-auth state would double TWICE per round and measured 14.8 s for
+iteration 8 alone).
 
 Scale shape: the edge table is cached TWICE, once partitioned+sorted by
 ``src`` (the auth gather joins hub contributions on src) and once by
@@ -44,16 +50,14 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_pagerank_spark.operators.degrees import vertices_from_edges
 from distributed_pagerank_spark.plans.loop import (
     KEEP_SESSION_CONFS,
     loop_conf,
-    obs_name,
     release_local_checkpoint,
-    safe_truncate,
 )
 
 
@@ -72,7 +76,8 @@ def hits(
     max_iter: int = 20,
     eps: float = 0.0,
     num_partitions: int | None = None,
-    truncate_interval: int = 2,
+    truncate_interval: int = 2,  # unused since r6 (lineage cut rides the
+    # per-iteration mass job); kept for API compatibility
 ) -> HitsResult:
     """Run HITS to ``max_iter`` rounds (or L1-delta ≤ eps on auth, when
     eps > 0 — the delta check costs one extra scalar agg per round over
@@ -124,8 +129,6 @@ def hits(
     metrics: list[dict[str, Any]] = []
     iteration, delta, converged = 0, float("inf"), False
     prev_snapshot = state
-    since_truncate = 0
-    last_truncated = None
 
     # KEEP_SESSION_CONFS, not the AQE-off default: unlike the PageRank
     # loop (whose state stays co-partitioned with the edge cache and
@@ -157,17 +160,19 @@ def hits(
                 .groupBy("dst")
                 .agg(F.sum("h").alias("a_raw"))
             )
-            obs = Observation(obs_name(f"hits_amass_{iteration}"))
+            # lazy localCheckpoint: the mass aggregate below is the
+            # materializing action — ONE job computes the iteration,
+            # caches the raw snapshot at the RDD layer, cuts lineage,
+            # and returns the L1 mass scalar (r6; same fusion as
+            # plans/ppr.py's barrier counts)
             snapshot = (
                 state.join(a_sums, state["id"] == a_sums["dst"], "left")
                 .select(
                     "id", F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("auth_raw")
                 )
-                .observe(obs, F.sum("auth_raw").alias("a_mass"))
-                .persist()
+                .localCheckpoint(eager=False)
             )
-            snapshot.count()
-            a_mass = obs.get["a_mass"] or 1.0
+            a_mass = snapshot.agg(F.sum("auth_raw")).first()[0] or 1.0
             # lazy normalization: a driver literal over the cached snapshot
             new_state = snapshot.select(
                 "id", (F.col("auth_raw") / F.lit(float(a_mass))).alias("auth")
@@ -185,22 +190,6 @@ def hits(
                 release_local_checkpoint(prev_snapshot)
             prev_snapshot = snapshot
             state = new_state
-            since_truncate += 1
-            # interval 2 (not PageRank's 5): the tree still doubles per
-            # iteration, but each HITS level embeds TWO chained gathers
-            # (3 joins + 2 aggs), so the same 2^k replication costs ~3×
-            # more analysis. r6 A/B under session AQE (min of 4,
-            # sf0.1/local[32], 10 iters): interval 2 → 7.3 s, 3 → 7.4 s,
-            # 4 → 11.2 s, 5 → 43 s.
-            if since_truncate >= truncate_interval and iteration < max_iter:
-                truncated = safe_truncate(spark, state)
-                snapshot.unpersist()
-                if last_truncated is not None:
-                    release_local_checkpoint(last_truncated)
-                last_truncated = truncated
-                state = truncated
-                prev_snapshot = None
-                since_truncate = 0
             metrics.append(
                 {
                     "iteration": iteration,
@@ -217,7 +206,6 @@ def hits(
             .groupBy(F.col("src").alias("hid"))
             .agg(F.sum("auth").alias("h_raw"))
         )
-        obs_h = Observation(obs_name("hits_hmass_final"))
         scores_raw = (
             state.join(h_sums, state["id"] == F.col("hid"), "left")
             .select(
@@ -225,11 +213,9 @@ def hits(
                 F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("hub_raw"),
                 "auth",
             )
-            .observe(obs_h, F.sum("hub_raw").alias("h_mass"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
-        scores_raw.count()
-        h_mass = obs_h.get["h_mass"] or 1.0
+        h_mass = scores_raw.agg(F.sum("hub_raw")).first()[0] or 1.0
 
     e_src.unpersist()
     e_dst.unpersist()
