@@ -46,7 +46,7 @@ from __future__ import annotations
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_pagerank_spark.operators.degrees import (
@@ -56,9 +56,7 @@ from distributed_pagerank_spark.operators.degrees import (
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
     loop_conf,
-    obs_name,
     release_local_checkpoint,
-    safe_truncate,
 )
 
 
@@ -133,8 +131,6 @@ def connected_components(
 
     iteration = start_iter
     prev = labels
-    since_truncate = 0
-    last_truncated = None
     jumping = algorithm == "pointer"  # hybrid arms this on stall
     prev_changed: int | None = None
     with loop_conf(spark):
@@ -146,7 +142,6 @@ def connected_components(
                 .groupBy("dst")
                 .agg(F.min("component").alias("nbr_min"))
             )
-            obs = Observation(obs_name(f"cc_changed_{iteration}"))
             candidate = F.coalesce(F.col("nbr_min"), F.col("component"))
             step = labels.join(nbr, labels["id"] == nbr["dst"], "left")
             if jumping:
@@ -162,23 +157,27 @@ def connected_components(
                 candidate = F.least(
                     candidate, F.coalesce(F.col("__lcomp"), F.col("component"))
                 )
-            new_labels = (
+            # lazy localCheckpoint: the changed-count aggregate below is
+            # the materializing action — ONE job computes the round,
+            # caches the labels (with the old label riding along for the
+            # count), cuts lineage, and returns the convergence statistic
+            # (r6; same fusion as plans/pagerank.py). No Observation, no
+            # separate eager truncation, no 2^k plan growth.
+            snapshot = (
                 step.select(
                     "id",
                     F.col("component").alias("old"),
                     F.least(F.col("component"), candidate).alias("component"),
                 )
-                .observe(
-                    obs,
-                    F.sum((F.col("component") != F.col("old")).cast("long")).alias(
-                        "changed"
-                    ),
-                )
-                .select("id", "component")
-                .persist()
+                .localCheckpoint(eager=False)
             )
-            new_labels.count()
-            changed = obs.get["changed"] or 0
+            changed = (
+                snapshot.agg(
+                    F.sum((F.col("component") != F.col("old")).cast("long"))
+                ).first()[0]
+                or 0
+            )
+            new_labels = snapshot.select("id", "component")
             used_jump = jumping
             if algorithm == "hybrid" and not jumping and (
                 (
@@ -196,23 +195,7 @@ def connected_components(
             labels = new_labels
             if prev is not None:
                 release_local_checkpoint(prev)
-            prev = new_labels
-            since_truncate += 1
-            # no truncation when the loop is about to exit (converged or
-            # budget exhausted) — the final state needs no lineage cut
-            if since_truncate >= 5 and changed != 0 and iteration < max_iter:
-                truncated = safe_truncate(spark, labels)  # see pagerank
-                labels.unpersist()
-                # the new truncation is materialized (eager), so the
-                # previous truncated state — which only this loop owns —
-                # can release its blocks (no-op for reliable checkpoints,
-                # frees the pinned RDD in the localCheckpoint fallback)
-                if last_truncated is not None:
-                    release_local_checkpoint(last_truncated)
-                last_truncated = truncated
-                labels = truncated
-                prev = None
-                since_truncate = 0
+            prev = snapshot
             converged = changed == 0
             meta = {
                 "algo": "connected_components",

@@ -17,7 +17,7 @@ from __future__ import annotations
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_pagerank_spark.operators.degrees import (
@@ -28,9 +28,7 @@ from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
     KEEP_SESSION_CONFS,
     loop_conf,
-    obs_name,
     release_local_checkpoint,
-    safe_truncate,
 )
 
 
@@ -99,8 +97,6 @@ def label_propagation(
 
     rnd = start_round
     prev = labels
-    since_truncate = 0
-    last_truncated = None
     # KEEP_SESSION_CONFS: every round re-keys through the (dst, label)
     # frequency exchange anyway, so AQE coalescing the tiny shuffles is a
     # measured 12% win (r6 A/B, tools/ab_loop_aqe.py: 3.28/3.29/3.65 s
@@ -120,41 +116,31 @@ def label_propagation(
             top = freq.groupBy("dst").agg(
                 F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
             ).select("dst", (-F.col("m.neg")).alias("new_label"))
-            obs = Observation(obs_name(f"lpa_changed_{rnd}"))
-            new_labels = (
+            # lazy localCheckpoint: the changed-count aggregate below is
+            # the materializing action — ONE job computes the round,
+            # caches the labels (old label riding along for the count),
+            # cuts lineage, and returns the convergence statistic (r6;
+            # same fusion as plans/components.py). No Observation, no
+            # separate eager truncation, no 2^k plan growth.
+            snapshot = (
                 labels.join(top, labels["id"] == top["dst"], "left")
                 .select(
                     "id",
                     F.col("label").alias("old"),
                     F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
                 )
-                .observe(
-                    obs,
-                    F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
-                )
-                .select("id", "label")
-                .persist()
+                .localCheckpoint(eager=False)
             )
-            new_labels.count()
-            changed = obs.get["changed"] or 0
-            labels = new_labels
+            changed = (
+                snapshot.agg(
+                    F.sum((F.col("label") != F.col("old")).cast("long"))
+                ).first()[0]
+                or 0
+            )
+            labels = snapshot.select("id", "label")
             if prev is not None:
                 release_local_checkpoint(prev)
-            prev = new_labels
-            since_truncate += 1
-            # no truncation when the loop is about to exit (converged or
-            # round budget exhausted) — the final state needs no lineage cut
-            if since_truncate >= 5 and changed != 0 and rnd < rounds:
-                truncated = safe_truncate(spark, labels)  # see pagerank
-                labels.unpersist()
-                # release the previous truncated state (loop-owned) now
-                # that the new one is materialized — see components.py
-                if last_truncated is not None:
-                    release_local_checkpoint(last_truncated)
-                last_truncated = truncated
-                labels = truncated
-                prev = None
-                since_truncate = 0
+            prev = snapshot
             converged = changed == 0
             meta = {
                 "algo": "label_propagation",

@@ -33,7 +33,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_pagerank_spark.operators.degrees import (
@@ -44,9 +44,7 @@ from distributed_pagerank_spark.operators.salting import hub_ids, salted_sum
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
     loop_conf,
-    obs_name,
     release_local_checkpoint,
-    safe_truncate,
 )
 
 
@@ -138,7 +136,8 @@ def pagerank(
     skew_salt: int | None = None,
     hub_threshold: int | None = None,
     num_partitions: int | None = None,
-    truncate_interval: int = 5,
+    truncate_interval: int = 5,  # unused since r6 (lineage cut rides the
+    # per-iteration delta aggregate); kept for API compatibility
 ) -> PageRankResult:
     """Run PageRank to L1 convergence.
 
@@ -199,9 +198,8 @@ def pagerank(
 
     # --- dangling flag (for redistribute mode) -----------------------
     # carried as a state column so the per-iteration dangling mass can be
-    # computed inside the iteration's single materializing job (via the
-    # same Observation as the delta) — no extra driver-side job per
-    # iteration.
+    # computed inside the iteration's single materializing job (alongside
+    # the delta aggregate) — no extra driver-side job per iteration.
     state_cols = ["id", "e", "rank"]
     if dangling == "redistribute":
         srcs = edges_w.select(F.col("src").alias("id")).distinct()
@@ -272,7 +270,7 @@ def pagerank(
     edges_cached.unpersist()
 
     # dangling mass of the CURRENT state; seeded once here, then updated
-    # for free each iteration by the Observation on the materializing job.
+    # for free each iteration by the materializing aggregate.
     dang_mass = 0.0
     if dangling == "redistribute":
         dang_mass = (
@@ -292,19 +290,21 @@ def pagerank(
     iteration = start_iter
     converged = last_delta <= eps
     delta = last_delta
-    # Iteration state management (measured 6× faster than a localCheckpoint
-    # per iteration at 10^7 edges): persist-chain — each iteration persists
-    # its output (keeping Catalyst's partitioning metadata alive, so the
-    # update join never re-exchanges the state side), unpersists the
-    # previous one, and truncates lineage every `truncate_interval`
-    # iterations. The interval must stay SMALL: the iteration plan
-    # references `state` twice (scatter + update), so the un-truncated
-    # logical tree doubles per iteration — 2^interval copies is the
-    # Catalyst-analysis cost ceiling.
+    # Iteration state management (r6): each iteration's output is a LAZY
+    # ``localCheckpoint`` whose materializing action is the delta/Σrank
+    # aggregate itself — ONE job computes the iteration, caches it at the
+    # RDD layer, cuts lineage, and returns the convergence statistics
+    # (``rank_old`` rides the snapshot so the delta needs no second
+    # input). ``localCheckpoint`` preserves the physical partitioning and
+    # ordering in the LogicalRDD leaf, so the update join never
+    # re-exchanges the state side; and with lineage cut EVERY iteration
+    # for free, the former 2^truncate_interval Catalyst plan growth (the
+    # state is referenced twice per iteration: scatter + update) and its
+    # eager-truncation jobs disappear — iteration wall-clock measured
+    # flat at ~0.4 s/iter vs 0.40→1.24 s growth over 5 iterations in the
+    # persist-chain shape (sf0.1 transcripts, local[32]).
     prev_snapshot = state
-    since_truncate = 0
-    last_truncated = None  # strong ref across truncations (GC-race guard)
-    last_rank_sum = None  # observed Σrank of the final state (see below)
+    last_rank_sum = None  # Σrank of the final state (see below)
 
     with loop_conf(spark):
         while not converged and iteration < max_iter:
@@ -344,41 +344,34 @@ def pagerank(
             )
 
             t1 = time.monotonic()
-            # ONE job per iteration: persist + count materializes the DAG while
-            # an Observation computes the L1 delta (and, in redistribute mode,
-            # the next iteration's dangling mass) as a side-effect — no second
-            # pass over the rank vector.
-            obs = Observation(obs_name(f"pagerank_delta_{iteration}"))
-            obs_aggs = [F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
-                        # rides the same job so the final 'reference'
-                        # normalization needs no extra aggregate pass
-                        # (same pattern as the HITS a_mass observation)
-                        F.sum("rank").alias("rank_sum")]
+            # ONE job per iteration: the delta/Σrank aggregate below is the
+            # materializing action of the lazy checkpoint — it computes the
+            # iteration, caches the snapshot (rank_old included, so the L1
+            # delta needs no second input), cuts lineage, and returns the
+            # convergence statistics in the same pass.
+            agg_exprs = [F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
+                         # rides the same job so the final 'reference'
+                         # normalization needs no extra aggregate pass
+                         F.sum("rank").alias("rank_sum")]
             if dangling == "redistribute":
-                obs_aggs.append(
+                agg_exprs.append(
                     F.sum(F.when(F.col("dang"), F.col("rank"))).alias("dang_mass")
                 )
-            snapshot = (
-                new_state.observe(obs, *obs_aggs)
-                .select(*state_cols)
-                .persist()
-            )
-            snapshot.count()
+            snapshot = new_state.localCheckpoint(eager=False)
             t2 = time.monotonic()
-            observed = obs.get
+            observed = snapshot.agg(*agg_exprs).first()
             delta = observed["delta"] or 0.0
             last_rank_sum = observed["rank_sum"]
             if dangling == "redistribute":
                 dang_mass = observed["dang_mass"] or 0.0
             t3 = time.monotonic()
             converged = delta <= eps
-            state = snapshot
+            state = snapshot.select(*state_cols)
             # free the previous iteration's cached rank vector (handles both
-            # persisted and localCheckpoint-truncated states)
+            # the LogicalRDD snapshots and the persisted init state)
             if prev_snapshot is not None:
                 release_local_checkpoint(prev_snapshot)
             prev_snapshot = snapshot
-            since_truncate += 1
 
             iter_metrics = {
                 "iteration": iteration,
@@ -400,35 +393,6 @@ def pagerank(
                     {"algo": "pagerank", "delta": delta, "converged": converged,
                      "fingerprint": fingerprint, "metrics": iter_metrics},
                 )
-            # skip the truncation when the loop is about to exit anyway
-            # (converged OR iteration budget exhausted) — the final
-            # state needs no lineage cut, so a k=truncate_interval run
-            # pays zero truncation jobs (r6 third wave)
-            if (
-                since_truncate >= truncate_interval
-                and not converged
-                and iteration < max_iter
-            ):
-                # cut the logical-plan chain so analyzer cost stays bounded.
-                # Reliable checkpoint (independent files, no dependence on the
-                # cache we are about to drop — localCheckpoint here would race
-                # with unpersist); rare, so the lost partitioning costs one
-                # state exchange on the following iteration only. Self-healing
-                # under foreign sessions (sets a checkpoint dir if missing).
-                truncated = safe_truncate(spark, state)
-                state.unpersist()
-                state = truncated
-                # the previous truncated DF must outlive the new truncation's
-                # eager materialization (cleanCheckpoints=true GC races) —
-                # which has completed by here, so release it now: no-op for
-                # reliable checkpoints, frees the pinned RDD blocks in the
-                # localCheckpoint fallback.
-                if last_truncated is not None:
-                    release_local_checkpoint(last_truncated)
-                last_truncated = truncated
-                prev_snapshot = None
-                since_truncate = 0
-                iter_metrics["truncated"] = True
             iter_metrics["total_s"] = round(time.monotonic() - t0, 4)
             metrics.append(iter_metrics)
 
