@@ -101,30 +101,32 @@ def hits(
     )
     # one materializing job fills BOTH orientation caches: evaluating the
     # union evaluates each child, populating its persisted blocks (r6;
-    # same observation-era fusion pattern as plans/bfs.py)
-    e_src.unionByName(e_dst).count()
+    # same observation-era fusion pattern as plans/bfs.py). Its count also
+    # carries the empty-graph check (no vertex without an edge), so the
+    # init state below needs no eager count of its own.
+    if e_src.unionByName(e_dst).count() == 0:
+        e.unpersist()
+        e_src.unpersist()
+        e_dst.unpersist()
+        raise ValueError("empty edge table: no vertices to score")
     verts = vertices_from_edges(e)
 
     # auth-only state (module docstring): hub_0 is the uniform 1/n vector,
     # so round 1's hub gather source IS the init state. The vertex count
     # rides the state materialization as a broadcast one-row aggregate
     # (1.0/__n is the same IEEE double division as the former Python
-    # literal) instead of paying its own driver job (r6).
+    # literal), and the state itself is a LAZY localCheckpoint whose
+    # materializing action is iteration 1's mass aggregate (r6) — zero
+    # setup jobs beyond the cache fill. ``e`` must outlive that first
+    # materialization; it is released inside the loop.
     cnt = verts.agg(F.count(F.lit(1)).alias("__n"))
     state = (
         verts.crossJoin(F.broadcast(cnt))
         .select("id", (F.lit(1.0) / F.col("__n")).alias("auth"))
         .repartition(num_partitions, "id")
         .sortWithinPartitions("id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    n = state.count()
-    if n == 0:
-        e.unpersist()
-        e_src.unpersist()
-        e_dst.unpersist()
-        raise ValueError("empty edge table: no vertices to score")
-    e.unpersist()
 
     metrics: list[dict[str, Any]] = []
     iteration, delta, converged = 0, float("inf"), False
@@ -173,6 +175,11 @@ def hits(
                 .localCheckpoint(eager=False)
             )
             a_mass = snapshot.agg(F.sum("auth_raw")).first()[0] or 1.0
+            if iteration == 1:
+                # the init state (and everything derived from the raw
+                # input) is now baked into the checkpointed snapshot —
+                # drop the distinct-edge cache
+                e.unpersist()
             # lazy normalization: a driver literal over the cached snapshot
             new_state = snapshot.select(
                 "id", (F.col("auth_raw") / F.lit(float(a_mass))).alias("auth")

@@ -114,9 +114,9 @@ def _prepare_edges(
         .sortWithinPartitions("src")  # CSR-style: sort-merge joins skip the
         .persist()                    # per-iteration sort of the edge side
     )
-    ew.count()  # materialize (fills the ecnt cache in the same job)
+    m = ew.count()  # materialize (fills the ecnt cache in the same job)
     verts = vertices_from_edges(e)  # reads the cache, not the raw input
-    return ew, verts, ecnt
+    return ew, verts, ecnt, m
 
 
 def pagerank(
@@ -156,9 +156,15 @@ def pagerank(
     )
     ckpt = CheckpointManager(spark, checkpoint_dir)
 
-    edges_w, verts, edges_cached = _prepare_edges(
+    edges_w, verts, edges_cached, n_edges = _prepare_edges(
         spark, edges, dup_policy, num_partitions, weight_col=weight_col
     )
+    # empty-graph check rides the edge-product count (no vertex without an
+    # edge): the fresh-start state below needs no eager count of its own
+    if n_edges == 0:
+        edges_w.unpersist()
+        edges_cached.unpersist()
+        raise ValueError("empty edge table: no vertices to rank")
 
     # Resume safety: a checkpoint directory is only valid for the same
     # (graph, parameters) job. Fingerprint = order-insensitive hash of the
@@ -257,29 +263,51 @@ def pagerank(
     # update sort-merge joins then skip their per-iteration Sort of the
     # state side (the SMJ output stays id-sorted, so chained snapshots
     # inherit the ordering for free).
-    state = (
-        state.repartition(num_partitions, "id")
-        .sortWithinPartitions("id")
-        .persist()
-    )
-    n = state.count()
-    if n == 0:
-        raise ValueError("empty edge table: no vertices to rank")
-    # the vertex set (and anything else derived from the raw input) is now
-    # baked into cached state/edge-product DFs — drop the distinct-edge cache
-    edges_cached.unpersist()
+    state = state.repartition(num_partitions, "id").sortWithinPartitions("id")
+    n = None
+    if start_iter > 0:
+        # resume snapshots (parquet read-back) materialize eagerly as
+        # before — rare path, and the count doubles as the lineage anchor
+        state = state.persist()
+        n = state.count()
+        edges_cached.unpersist()
+        edges_cached = None
+    else:
+        # fresh state is a LAZY localCheckpoint: its materializing action
+        # is the first aggregate that touches it (iteration 1's statistic
+        # job in the default path; the seed aggregates below for the
+        # redistribute/skew paths) — no separate state-count job
+        # (emptiness was already rejected on the edge-product count
+        # above). Uniform across dangling modes, so the planner sees the
+        # same state statistics either way. The distinct-edge cache must
+        # outlive the first materialization; it is released inside the
+        # loop (or below, when a seed aggregate materializes first).
+        state = state.localCheckpoint(eager=False)
 
-    # dangling mass of the CURRENT state; seeded once here, then updated
-    # for free each iteration by the materializing aggregate.
+    # dangling mass of the CURRENT state; seeded once here (the vertex
+    # count rides the same aggregate — which also materializes a lazy
+    # state), then updated for free each iteration by the materializing
+    # aggregate.
     dang_mass = 0.0
     if dangling == "redistribute":
-        dang_mass = (
-            state.agg(F.sum(F.when(F.col("dang"), F.col("rank")))).first()[0]
-            or 0.0
-        )
+        seed = state.agg(
+            F.sum(F.when(F.col("dang"), F.col("rank"))).alias("__dm"),
+            F.count(F.lit(1)).alias("__n"),
+        ).first()
+        dang_mass = seed["__dm"] or 0.0
+        if n is None:
+            n = seed["__n"]
+        if edges_cached is not None:
+            edges_cached.unpersist()
+            edges_cached = None
 
     hubs = None
     if skew_salt:
+        if n is None:
+            n = state.count()  # materializes the lazy state (skew path)
+            if edges_cached is not None:
+                edges_cached.unpersist()
+                edges_cached = None
         thr = hub_threshold if hub_threshold is not None else max(
             64, int(edges_w.count() / max(n, 1)) * 16
         )
@@ -360,6 +388,11 @@ def pagerank(
             snapshot = new_state.localCheckpoint(eager=False)
             t2 = time.monotonic()
             observed = snapshot.agg(*agg_exprs).first()
+            if edges_cached is not None:
+                # the first materialization has now baked the vertex set
+                # into the checkpointed state — drop the distinct-edge cache
+                edges_cached.unpersist()
+                edges_cached = None
             delta = observed["delta"] or 0.0
             last_rank_sum = observed["rank_sum"]
             if dangling == "redistribute":
@@ -411,6 +444,8 @@ def pagerank(
         ranks = ranks.withColumn("rank", F.col("rank") / F.lit(float(total)))
 
     edges_w.unpersist()
+    if edges_cached is not None:  # zero-iteration run: nothing materialized
+        edges_cached.unpersist()
     if hubs is not None:
         hubs.unpersist()
     return PageRankResult(ranks, iteration, delta, converged, metrics)

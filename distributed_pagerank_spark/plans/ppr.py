@@ -62,7 +62,7 @@ def personalized_pagerank_multi(
     product is built and persisted ONCE for all sets and iterations.
     """
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
-    edges_w, _verts, ecnt = _prepare_edges(
+    edges_w, _verts, ecnt, _m = _prepare_edges(
         spark, edges, dup_policy, num_partitions
     )
     ecnt.unpersist()  # PPR never needs the vertex set — only edge reach
