@@ -178,7 +178,15 @@ def betweenness(
             level_rows.append(n)
             frontier = nxt
 
-    # ---- backward pass: delta accumulates deepest-level-first
+    # ---- backward pass: delta accumulates deepest-level-first. Each
+    # level's delta slice is a LAZY localCheckpoint: nothing acts on the
+    # chain until the final betweenness aggregation below, so the WHOLE
+    # backward pass runs as ONE driver job — each slice materializes (and
+    # cuts lineage) the first time the level below, or the final union,
+    # computes it inside that job. The per-level join-shape choices only
+    # need the forward pass's exact counts, never a backward runtime
+    # value, so laziness costs nothing (r6 fourth wave; formerly one
+    # eager checkpoint job per level).
     last = len(levels) - 1
     bcast_rows = _broadcast_row_limit(spark)
     contributions: list[DataFrame] = []
@@ -242,7 +250,7 @@ def betweenness(
                                 * F.coalesce(F.col("s"), F.lit(0.0))
                             ).alias("delta"),
                         )
-                        .localCheckpoint(eager=True)
+                        .localCheckpoint(eager=False)
                     )
                 else:
                     # classic shape (w side too big to broadcast or not
@@ -278,7 +286,7 @@ def betweenness(
                             "root", "id", "sigma",
                             F.coalesce("delta", F.lit(0.0)).alias("delta"),
                         )
-                        .localCheckpoint(eager=True)
+                        .localCheckpoint(eager=False)
                     )
             delta_above = cur_delta
             delta_slices.append(cur_delta)
