@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from distributed_pagerank_spark.operators.degrees import symmetrize
 
 from distributed_pagerank_spark.plans.loop import (
+    KEEP_SESSION_CONFS,
     loop_conf,
     release_local_checkpoint,
 )
@@ -92,7 +93,11 @@ def multi_source_bfs(
     visited = frontier  # depth 0: the visited set IS the frontier
     metrics = metrics_out if metrics_out is not None else []
 
-    with loop_conf(spark):
+    # KEEP_SESSION_CONFS since the r6 fourth wave (see pagerank.py):
+    # with checkpoint-leaf slices the layout is frozen, and AQE
+    # coalescing the per-depth frontier exchange measured 4.16 -> 3.85 s
+    # (min of 4, every rep faster; the r5 shape measured mixed/worse).
+    with loop_conf(spark, confs=KEEP_SESSION_CONFS):
         for depth in range(1, max_depth + 1):
             t0 = time.monotonic()
             candidates = (

@@ -55,6 +55,7 @@ from distributed_pagerank_spark.operators.degrees import (
 )
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
+    KEEP_SESSION_CONFS,
     loop_conf,
     release_local_checkpoint,
 )
@@ -133,7 +134,12 @@ def connected_components(
     prev = labels
     jumping = algorithm == "pointer"  # hybrid arms this on stall
     prev_changed: int | None = None
-    with loop_conf(spark):
+    # KEEP_SESSION_CONFS since the r6 fourth wave (see pagerank.py):
+    # checkpointed labels freeze their layout, so AQE can only help the
+    # per-round (dst, nbr_min) exchange — measured 4.65 -> 3.92 s AQE-on
+    # (min of 4, every rep faster); the old persist-chain shape measured
+    # 1.96x SLOWER with AQE on.
+    with loop_conf(spark, confs=KEEP_SESSION_CONFS):
         while iteration < max_iter:
             iteration += 1
             t0 = time.monotonic()

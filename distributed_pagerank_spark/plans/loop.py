@@ -41,18 +41,21 @@ from pyspark.sql import functions as F
 MANIFEST = "manifest.json"
 
 # Runtime confs pinned for the duration of an iteration loop — the
-# DEFAULT, re-measured per algorithm in r6 (tools/ab_loop_aqe.py,
-# interleaved at sf0.1/local[32]). AQE's per-materialization re-planning
-# costs a fixed fee per iteration and its coalescing can BREAK the
-# state/sums co-partitioning that keeps an update join exchange-free —
-# decisive for the loops whose state stays pinned to the edge layout:
-# cc 1.96× slower AQE-on, pagerank 1.21×, betweenness 1.20×, ppr 1.05×.
-# But loops whose every iteration re-keys through unavoidable exchanges
-# (HITS' two chained gathers: 0.70×, labelprop's mode-count: 0.875×) WIN
-# with AQE on — coalescing shrinks the tiny per-iteration shuffles to a
-# task count matching the data, the guide's scale-adaptive partitioning
-# (§2.2). Those loops pass KEEP_SESSION_CONFS instead. AQE stays on for
-# one-time preparation (edge product build) and everything outside loops.
+# DEFAULT, re-measured per algorithm TWICE in r6 (tools/ab_loop_aqe.py,
+# interleaved at sf0.1/local[32]) because the answer depends on the
+# state representation. In the old persist-chain shape, AQE coalescing
+# could BREAK the state/sums co-partitioning that keeps an update join
+# exchange-free (cc measured 1.96× slower AQE-on, pagerank 1.21×). The
+# fourth-wave lazy-checkpoint states FREEZE their layout in the RDD, so
+# that failure mode is gone and AQE coalescing the per-iteration
+# exchanges wins for most loops — re-measured on the checkpoint shape
+# (min of 4, every rep faster): pagerank 0.78×, cc 0.84×, bfs 0.93×,
+# plus the loops that always won (HITS 0.70×, labelprop 0.875×). Those
+# pass KEEP_SESSION_CONFS. Still AQE-off (measured neutral-to-worse on
+# the new shape): betweenness 1.03×, ppr 1.04×, k_core ~1.2×, k_truss
+# ~1.0× — their per-round exchanges are already tiny or their loops are
+# dominated by broadcast shapes AQE re-plans for no gain. AQE stays on
+# for one-time preparation and everything outside loops.
 LOOP_CONFS = {"spark.sql.adaptive.enabled": "false"}
 
 # Sentinel for loops measured FASTER under the session's own (AQE-on)

@@ -43,6 +43,7 @@ from distributed_pagerank_spark.operators.degrees import (
 from distributed_pagerank_spark.operators.salting import hub_ids, salted_sum
 from distributed_pagerank_spark.plans.loop import (
     CheckpointManager,
+    KEEP_SESSION_CONFS,
     loop_conf,
     release_local_checkpoint,
 )
@@ -77,8 +78,10 @@ def _prepare_edges(
     startup cost, so re-reading it per derived artifact (the round-2 shape:
     distinct + degrees + vertices = 4 scans) is not acceptable.
 
-    Returns ``(edge_product, vertices, cached_distinct_edges)``; the caller
-    unpersists the third once the vertex-derived state is materialized.
+    Returns ``(edge_product, vertices, cached_distinct_edges, edge_count)``;
+    the caller unpersists the third once the vertex-derived state is
+    materialized, and gets the edge-product row count for free (the
+    materializing count — doubles as the empty-graph check).
     """
     if weight_col is not None:
         # weighted graph: duplicate (src, dst) rows merge by SUMMING their
@@ -334,7 +337,13 @@ def pagerank(
     prev_snapshot = state
     last_rank_sum = None  # Σrank of the final state (see below)
 
-    with loop_conf(spark):
+    # KEEP_SESSION_CONFS since the r6 fourth wave: with checkpointed
+    # state the layout AQE used to break is frozen in the RDD, and AQE
+    # coalescing the per-iteration contribution shuffle is a measured win
+    # (tools/ab_loop_aqe.py on the checkpoint shape, min of 4, every rep
+    # faster: 3.84 -> 3.01 s AQE-on at sf0.1/local[32]; the old
+    # persist-chain shape measured the OPPOSITE, 1.21x slower).
+    with loop_conf(spark, confs=KEEP_SESSION_CONFS):
         while not converged and iteration < max_iter:
             iteration += 1
             t0 = time.monotonic()
