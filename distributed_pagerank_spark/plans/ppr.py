@@ -79,17 +79,24 @@ def personalized_pagerank_multi(
         .repartition(num_partitions, "set_id", "id")
         .persist()
     )
-    if e_vec.count() == 0:
-        raise ValueError("empty seeds: no personalization vectors to rank")
+    # no eager count: the cache fills inside the first barrier job below
+    # (the chained plan references e_vec once per iteration — the first
+    # task computing a partition caches it, the rest read it), and the
+    # empty-seeds check rides the barrier's row count (state is a
+    # full-outer against e_vec, so state rows ⊇ seed rows — 0 at a
+    # barrier iff the seeds were empty). One setup job less (r6).
 
-    # initial state is a projection over the just-materialized e_vec
-    # cache — no separate persist+count job (r6). Iteration 1 reads it
-    # through the cache; only a zero-iteration call (k=0) pins it, so the
-    # lazily-returned result keeps a materialized backing either way.
+    # initial state is a projection over e_vec. Iteration 1 reads it
+    # through the (lazily-filled) cache; only a zero-iteration call
+    # (k=0) pins and counts it, keeping the check and a materialized
+    # backing on that path too.
     state = e_vec.select("set_id", "id", F.col("e").alias("rank"))
     if k < 1:
         state = state.persist()
-        state.count()
+        if state.count() == 0:
+            raise ValueError(
+                "empty seeds: no personalization vectors to rank"
+            )
 
     metrics = metrics_out if metrics_out is not None else []
     prev_snapshot = state if k < 1 else None
@@ -124,6 +131,12 @@ def personalized_pagerank_multi(
             if iteration % truncate_interval == 0 or iteration == k:
                 new_state = new_state.localCheckpoint(eager=False)
                 rows = new_state.count()
+                if rows == 0:
+                    # state ⊇ the seed support (full-outer against e_vec):
+                    # an empty barrier means the seeds were empty
+                    raise ValueError(
+                        "empty seeds: no personalization vectors to rank"
+                    )
                 if prev_snapshot is not None:
                     release_local_checkpoint(prev_snapshot)
                 prev_snapshot = new_state
