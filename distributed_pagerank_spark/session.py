@@ -55,6 +55,18 @@ def get_spark(
         # Iterative plans grow deep; keep the analyzer/optimizer from
         # re-walking stale cached plan fragments.
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        # The default 100-entry generated-class cache thrashes in any
+        # long-lived session running many distinct queries: each query
+        # compiles 5-15 WholeStageCodegen classes, so a few dozen
+        # queries evict each other and EVERY re-run re-pays Janino
+        # compilation on the driver. Measured on a 16-query interleaved
+        # suite (sf0.1, local[32], alternated subprocesses, replicated):
+        # 54.2/51.5 s at 100 entries vs 38.0/37.4 s at a large cache
+        # (-27%), with codegen-heavy loops 27-42% faster and
+        # expression-interpreted queries unmoved. Scale-neutral: the
+        # cache holds compiled bytecode keyed by source (KBs/entry), and
+        # the value bounds memory, not data size.
+        "spark.sql.codegen.cache.maxEntries": "8192",
     }
     if extra_conf:
         conf.update(extra_conf)
