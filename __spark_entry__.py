@@ -1979,6 +1979,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k5_weighted", "pagerank_seeded_e", "pagerank_transcripts",
         # r6: hits.py fused init count; ppr.py lazy initial state
         "ppr_multi_seed",
+        # r6 fourth wave: lazy-checkpoint loops in components.py /
+        # labelprop.py (and dedup_clusters' CC pass over the pair graph)
+        "connected_components", "connected_components_hybrid",
+        "component_size_histogram", "dedup_clusters",
+        # r6: kcore.py / truss.py one-job peel rounds
+        "k_core", "coreness", "k_truss",
+        # r6: triangles.py shared symmetrized cache (triangle_rows)
+        "triangle_count", "clustering_coefficient",
     ]
     verified_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "verified.json")
