@@ -179,14 +179,18 @@ def betweenness(
             frontier = nxt
 
     # ---- backward pass: delta accumulates deepest-level-first. Each
-    # level's delta slice is a LAZY localCheckpoint: nothing acts on the
-    # chain until the final betweenness aggregation below, so the WHOLE
-    # backward pass runs as ONE driver job — each slice materializes (and
-    # cuts lineage) the first time the level below, or the final union,
-    # computes it inside that job. The per-level join-shape choices only
-    # need the forward pass's exact counts, never a backward runtime
-    # value, so laziness costs nothing (r6 fourth wave; formerly one
-    # eager checkpoint job per level).
+    # level's delta slice is a LAZY localCheckpoint: no driver ACTION
+    # runs until the final betweenness aggregation below, so the
+    # backward data path executes inside that one action — each slice
+    # materializes (and cuts lineage) the first time the level below,
+    # or the final union, computes it there. (Broadcast-shape levels
+    # still submit their own broadcast-collect jobs when the plan
+    # compiles, so the Spark UI shows one action job plus one small
+    # broadcast job per factor-aggregate level — the per-level EAGER
+    # checkpoint jobs are what disappeared.) The per-level join-shape
+    # choices only need the forward pass's exact counts, never a
+    # backward runtime value, so laziness costs nothing (r6 fourth
+    # wave).
     last = len(levels) - 1
     bcast_rows = _broadcast_row_limit(spark)
     contributions: list[DataFrame] = []

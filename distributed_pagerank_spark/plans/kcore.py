@@ -69,7 +69,7 @@ def k_core(
     # round's removed-count (which scans it for degrees anyway) — the
     # old shape paid a second count job per round just to materialize.
     # Leaf slices also cut the logical plan every round, so the
-    # safe_truncate cadence (``truncate_interval``, kept for API
+    # eager-truncation cadence (``truncate_interval``, kept for API
     # compatibility) has nothing left to truncate. Predecessor state is
     # released only AFTER the count that materializes its successor.
     pending: list[DataFrame] = []

@@ -22,6 +22,16 @@ Two truncation modes:
 - ``dir=...`` → Parquet write + read-back: durable, resumable, and also
   truncates lineage (the read-back plan is a fresh scan).
 
+Fault-tolerance trade (r6): the iteration loops cut lineage every
+iteration with UNREPLICATED lazy ``localCheckpoint`` snapshots — the
+documented Spark trade of executor-loss recomputability for speed. In
+local mode (one JVM) there is nothing to lose; on a cluster, losing an
+executor mid-run aborts the job and recovery is the durable
+``CheckpointManager`` path (pass ``checkpoint_dir=``), which snapshots
+state to Parquet with a commit-marked manifest at the configured
+cadence and resumes exactly — that path is unchanged and
+kill/resume-tested.
+
 Filesystem access goes through the Hadoop ``FileSystem`` API (via the
 session's JVM gateway), so the same code works on ``file:``, ``hdfs:``
 or ``s3a:`` checkpoint locations — required on a real cluster.
@@ -30,8 +40,6 @@ or ``s3a:`` checkpoint locations — required on a real cluster.
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 from contextlib import contextmanager
 from typing import Any
 
@@ -112,35 +120,6 @@ def obs_name(prefix: str) -> str:
     global _OBS_COUNTER
     _OBS_COUNTER += 1
     return f"{prefix}_r{_OBS_COUNTER}"
-
-
-def ensure_checkpoint_dir(spark: SparkSession) -> None:
-    """Set a default RDD checkpoint dir if the session has none.
-
-    ``Dataset.checkpoint()`` throws unless ``SparkContext.setCheckpointDir``
-    was called. The engine's ``get_spark`` sets one, but the public plan
-    functions accept ANY SparkSession (e.g. the correctness driver's), so
-    library code must be self-healing rather than assume session-factory
-    side effects. Idempotent; prefers tmpfs locally.
-    """
-    sc = spark.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isEmpty():
-        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-        sc.setCheckpointDir(f"{base}/dps-rdd-checkpoints")
-
-
-def safe_truncate(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Lineage-truncating snapshot that works under any SparkSession.
-
-    Reliable ``checkpoint`` (independent files — no dependence on the cache
-    the caller is about to drop); falls back to ``localCheckpoint`` when a
-    checkpoint dir cannot be established (e.g. read-only filesystems).
-    """
-    try:
-        ensure_checkpoint_dir(spark)
-        return df.checkpoint(eager=True)
-    except Exception:
-        return df.localCheckpoint(eager=True)
 
 
 def release_local_checkpoint(df: DataFrame) -> None:

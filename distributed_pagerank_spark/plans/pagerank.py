@@ -64,7 +64,7 @@ def _prepare_edges(
     dup_policy: str,
     num_partitions: int,
     weight_col: str | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Static per-run edge product: (src, dst, out_degree), partitioned by
     src and persisted. The in-link side dedups duplicates in both policies
     (the reference stores in-links in a map, collapsing dups); the
@@ -203,7 +203,7 @@ def pagerank(
     # uniform e (1/n) is filled during state init below: the vertex count
     # rides the state materialization as a broadcast one-row aggregate
     # instead of paying its own driver job (r6; the empty-graph check
-    # moves to the state count, same ValueError)
+    # rides the edge-product count above, same ValueError)
 
     # --- dangling flag (for redistribute mode) -----------------------
     # carried as a state column so the per-iteration dangling mass can be

@@ -88,7 +88,7 @@ def _max_prop(
     base + edge gather + jump), so the un-truncated logical tree grows
     ×3 per round — interval 3 caps Catalyst analysis at 27× (interval 6
     = 729× measured as a multi-minute analysis stall on a 7-edge
-    graph). In-memory rather than ``safe_truncate``: these inner
+    graph). In-memory rather than a reliable checkpoint: these inner
     fixpoints have no resume contract (the outer SCC loop is where a
     durable snapshot would live), so a reliable-checkpoint write+read
     would be pure overhead."""

@@ -1,5 +1,11 @@
 """Interleaved A/B of HITS loop knobs at sf0.1/local[32].
 
+HISTORICAL (r6 first wave): the truncate_interval arms are vestigial
+since the fourth wave — hits() cuts lineage every iteration via the
+lazy-checkpoint mass aggregate and ignores the parameter, so the
+interval variants now all run identical code. Kept for the r6 A/B
+record; only the AQE on/off contrast remains meaningful.
+
 Usage: python tools/ab_hits.py [reps] — runs the configured variants
 interleaved (rep 1 of each, then rep 2, ...) on the customer→supplier
 graph and prints per-variant min/median (the noise-robust protocol from

@@ -153,6 +153,10 @@ def worker(cores: int) -> None:
         num_partitions=parts,
     )
     measured = res.metrics[WARMUP:]
+    # r6: pagerank cuts lineage every iteration (no eager-truncation
+    # iterations remain), so the "truncated" marker is never set and
+    # trunc_iter_s stays [] — field kept so pooled JSONs from earlier
+    # rounds still merge.
     steady = [x["total_s"] for x in measured if not x.get("truncated")]
     trunc = [x["total_s"] for x in measured if x.get("truncated")]
 
